@@ -1,0 +1,108 @@
+"""Top-level compress/decompress entry points (reference: minicommain.c +
+preprocess.c orchestration).
+
+compress():  classify -> cluster rounds -> contig merge -> realignment ladder
+             -> serialize -> .mtc container.
+decompress(): container -> streams -> mode-specific assembly.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from minicom_tpu.config import CompressorConfig
+from minicom_tpu.io import container, fastq
+from minicom_tpu.pipeline import classify as classify_mod
+from minicom_tpu.pipeline import cluster as cluster_mod
+from minicom_tpu.pipeline import decode as decode_mod
+from minicom_tpu.pipeline import encode as encode_mod
+from minicom_tpu.pipeline.merge import merge_contigs
+from minicom_tpu.pipeline.realign import realign_ladder
+from minicom_tpu.stats import StageStats
+
+
+def compress(reads_path: str, out_path: str, cfg: CompressorConfig | None = None,
+             reads_path2: str | None = None, stats: StageStats | None = None) -> dict:
+    """Compress FASTQ file(s) into a .mtc archive; returns summary dict."""
+    cfg = cfg or CompressorConfig()
+    stats = stats or StageStats()
+
+    with stats.stage("load"):
+        codes = fastq.read_fastq_codes(reads_path)
+        half_val = 0
+        if reads_path2 is not None:
+            codes2 = fastq.read_fastq_codes(reads_path2)
+            if codes2.shape[1] != codes.shape[1]:
+                raise ValueError("paired files have different read lengths")
+            half_val = codes.shape[0]
+            if codes2.shape[0] != half_val:
+                raise ValueError("paired files contain different read counts")
+            codes = np.concatenate([codes, codes2], axis=0)
+            cfg.paired = True
+    n_seq, L = codes.shape
+    rcfg = cfg.resolve(L if L else 1)
+
+    with stats.stage("classify"):
+        cls = classify_mod.classify(codes, rcfg)
+    del codes
+
+    with stats.stage("cluster"):
+        cset, sg = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool, rcfg)
+    stats.set("clusters_initial", cset.n_clusters)
+    stats.set("singletons_initial", len(sg))
+
+    # widen realign search when few singletons remain (preprocess.c:169-172)
+    rcfg = cfg.resolve(L if L else 1, n_singletons=len(sg))
+
+    with stats.stage("merge"):
+        cset = merge_contigs(cset, rcfg)
+    stats.set("clusters_merged", cset.n_clusters)
+
+    with stats.stage("realign"):
+        cset, sg, extra_a, extra_t = realign_ladder(
+            cset, sg, cls.codes_sub, cls.n_mask, rcfg)
+    stats.set("singletons_final", len(sg))
+
+    # leftover singles containing N join the single_N stream
+    # (kthread_dump.c:396-404)
+    with stats.stage("serialize"):
+        sg_has_n = cls.has_n[sg]
+        nfile = np.concatenate([cls.nfile, sg[sg_has_n]])
+        single = sg[~sg_has_n]
+        inp = encode_mod.EncodeInput(
+            readlen=L, n_seq=n_seq, half_val=half_val,
+            order=rcfg.order, paired=rcfg.paired,
+            codes_sub=cls.codes_sub, n_mask=cls.n_mask,
+            all_a=cls.all_a, all_t=cls.all_t, all_n=cls.all_n,
+            near_a=np.concatenate([cls.near_a, extra_a]),
+            near_t=np.concatenate([cls.near_t, extra_t]),
+            mostly_n=cls.mostly_n, nfile=nfile, single=single,
+            clusters=cset,
+        )
+        meta, streams = encode_mod.serialize(inp)
+
+    with stats.stage("entropy"):
+        total = container.write_container(out_path, meta, streams, rcfg.codec)
+    stats.set("archive_bytes", total)
+    stats.set("input_bytes", int(n_seq) * (L + 1))
+    return stats.summary()
+
+
+def decompress(archive_path: str, out_path: str,
+               out_path2: str | None = None,
+               stats: StageStats | None = None) -> dict:
+    stats = stats or StageStats()
+    with stats.stage("read_container"):
+        meta, streams = container.read_container(archive_path)
+    with stats.stage("decode"):
+        if meta["pe"]:
+            f1, f2 = decode_mod.assemble_pe(meta, streams)
+            fastq.write_reads(out_path, f1)
+            fastq.write_reads(out_path2 or out_path + ".2", f2)
+        elif meta["order"]:
+            fastq.write_reads(out_path, decode_mod.assemble_order(meta, streams))
+        else:
+            fastq.write_reads(out_path, decode_mod.assemble_unordered(meta, streams))
+    return stats.summary()

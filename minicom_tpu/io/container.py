@@ -1,0 +1,60 @@
+"""`.mtc` archive container (replaces the reference's tar-of-bsc-files,
+`minicom:110-172`, SURVEY.md C24).
+
+Layout: `MTC1` magic | u32 header length | header JSON | concatenated
+compressed streams. The header carries the mode, read length, read counts and
+the stream table (name -> offset/compressed/raw lengths + codec). No thread or
+host count appears anywhere (the reference bakes n_threads into info.txt and
+shards every stream per thread id, `kthread_dump.c:375`): archives are a pure
+function of (input, config).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Dict
+
+from minicom_tpu.entropy import backend
+
+MAGIC = b"MTC1"
+
+
+def write_container(path: str, meta: dict, streams: Dict[str, bytes],
+                    codec: str) -> int:
+    """Compress and write streams; returns total archive bytes."""
+    table = []
+    blobs = []
+    off = 0
+    for name in sorted(streams):
+        raw = streams[name]
+        blob = backend.compress(codec, raw)
+        table.append({"name": name, "off": off, "clen": len(blob),
+                      "rlen": len(raw), "codec": codec})
+        blobs.append(blob)
+        off += len(blob)
+    header = dict(meta)
+    header["streams"] = table
+    hdr = json.dumps(header, separators=(",", ":"), sort_keys=True).encode()
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(hdr)))
+        f.write(hdr)
+        for b in blobs:
+            f.write(b)
+    return len(MAGIC) + 4 + len(hdr) + off
+
+
+def read_container(path: str) -> tuple[dict, Dict[str, bytes]]:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != MAGIC:
+        raise ValueError(f"{path}: not a .mtc archive")
+    (hlen,) = struct.unpack("<I", data[4:8])
+    meta = json.loads(data[8:8 + hlen])
+    base = 8 + hlen
+    streams = {}
+    for ent in meta["streams"]:
+        blob = data[base + ent["off"]: base + ent["off"] + ent["clen"]]
+        streams[ent["name"]] = backend.decompress(ent["codec"], blob, ent["rlen"])
+    return meta, streams

@@ -1,0 +1,165 @@
+"""Native (C++) helpers: diff-string codec, with pure-Python fallbacks.
+
+The shared library is built on first import with the system g++ (no pip) and
+cached next to this file. If the toolchain is unavailable the Python fallback
+keeps everything correct (slower).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "_native.so")
+_SRCS = [os.path.join(_DIR, "diffcodec.cpp")]
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        newest_src = max(os.path.getmtime(s) for s in _SRCS)
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest_src:
+            return True
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               *_SRCS, "-o", _SO + ".tmp"]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception as e:  # pragma: no cover - toolchain missing
+        print(f"minicom_tpu: native build failed ({e}); using Python fallback",
+              file=sys.stderr)
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if _build():
+        lib = ctypes.CDLL(_SO)
+        lib.diff_encode.restype = ctypes.c_int64
+        lib.diff_encode.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int, ctypes.c_void_p]
+        lib.diff_decode.restype = ctypes.c_int64
+        lib.diff_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_void_p]
+        lib.diff_encode_lengths.restype = None
+        lib.diff_encode_lengths.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_int64, ctypes.c_int64,
+                                            ctypes.c_int, ctypes.c_void_p]
+        _lib = lib
+    else:
+        _lib = False
+    return _lib
+
+
+def _as_c(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.uint8)
+
+
+def diff_encode(ref_rows: np.ndarray, read_rows: np.ndarray, rule: int) -> bytes:
+    """ref/read: [M, L] uint8 ASCII -> '\n'-separated diff lines (bytes)."""
+    M, L = read_rows.shape
+    if M == 0:
+        return b""
+    lib = _load()
+    ref_rows, read_rows = _as_c(ref_rows), _as_c(read_rows)
+    if lib:
+        out = np.empty(M * (L + 12), dtype=np.uint8)
+        n = lib.diff_encode(ref_rows.ctypes.data, read_rows.ctypes.data,
+                            M, L, rule, out.ctypes.data)
+        return out[:n].tobytes()
+    return _py_encode(ref_rows, read_rows, rule)
+
+
+def diff_decode(text: bytes, ref_rows: np.ndarray, n_rows: int) -> np.ndarray:
+    """'\n'-separated diff lines + [M, L] uint8 ASCII refs -> read rows."""
+    M, L = ref_rows.shape
+    assert M == n_rows
+    if M == 0:
+        return np.zeros((0, L), np.uint8)
+    lib = _load()
+    ref_rows = _as_c(ref_rows)
+    buf = np.frombuffer(text, dtype=np.uint8)
+    if lib:
+        out = np.empty((M, L), dtype=np.uint8)
+        r = lib.diff_decode(buf.ctypes.data, len(buf), ref_rows.ctypes.data,
+                            M, L, out.ctypes.data)
+        if r != M:
+            raise ValueError(f"diff_decode failed at row {-r - 1}")
+        return out
+    return _py_decode(text, ref_rows)
+
+
+def diff_encode_lengths(ref_rows: np.ndarray, read_rows: np.ndarray,
+                        rule: int) -> np.ndarray:
+    """Per-row encoded length (without the newline)."""
+    M, L = read_rows.shape
+    if M == 0:
+        return np.zeros(0, np.int32)
+    lib = _load()
+    ref_rows, read_rows = _as_c(ref_rows), _as_c(read_rows)
+    if lib:
+        out = np.empty(M, dtype=np.int32)
+        lib.diff_encode_lengths(ref_rows.ctypes.data, read_rows.ctypes.data,
+                                M, L, rule, out.ctypes.data)
+        return out
+    enc = _py_encode(ref_rows, read_rows, rule).split(b"\n")[:-1]
+    return np.array([len(x) for x in enc], np.int32)
+
+
+# ---------------------------------------------------------------- fallbacks
+def _py_encode(ref_rows, read_rows, rule) -> bytes:
+    run_min = 2 if rule == 0 else 1
+    out = bytearray()
+    for rf, rd in zip(ref_rows, read_rows):
+        row = bytearray()
+        eq = 0
+        for i in range(len(rd)):
+            if rf[i] != rd[i]:
+                if eq >= run_min:
+                    row += str(eq).encode()
+                else:
+                    row += bytes(rd[i - eq:i])
+                eq = 0
+                row.append(rd[i])
+            else:
+                eq += 1
+        if not row:
+            row += b"0"
+        out += row + b"\n"
+    return bytes(out)
+
+
+def _py_decode(text: bytes, ref_rows) -> np.ndarray:
+    M, L = ref_rows.shape
+    out = np.empty((M, L), np.uint8)
+    lines = text.split(b"\n")
+    for r in range(M):
+        rf = ref_rows[r]
+        rd = out[r]
+        pos = 0
+        eq = 0
+        for c in lines[r]:
+            if 65 <= c <= 90:
+                while eq > 0 and pos < L:
+                    rd[pos] = rf[pos]
+                    pos += 1
+                    eq -= 1
+                if pos < L:
+                    rd[pos] = c
+                    pos += 1
+            else:
+                eq = eq * 10 + (c - 48)
+        while pos < L:
+            rd[pos] = rf[pos]
+            pos += 1
+    return out

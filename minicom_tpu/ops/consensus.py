@@ -1,0 +1,57 @@
+"""Segmented majority-vote consensus kernels.
+
+Replaces the reference's per-cluster positional count tables
+(`construct_ref`, kthread_bucket.c:69-377; `construct_ref2`,
+kthread_cb.c:105-218) with ONE scatter-add over a flat column space shared by
+all clusters in a batch: member read m of cluster c contributes a one-hot
+count at global column ``col_base[c] + offset[m] + j`` for each base j.
+Consensus = argmax over the 4 base counts (ties -> lowest code, matching the
+reference's strict-> update which keeps the first maximum).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def orient(codes: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """[M, L] codes, [M] strand -> reverse-complemented rows where strand==1."""
+    rc = jnp.flip(jnp.where(codes < 4, 3 - codes, codes), axis=1)
+    return jnp.where((dirs == 1)[:, None], rc, codes).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("total_cols",))
+def segmented_consensus(member_base: jnp.ndarray, offsets: jnp.ndarray,
+                        codes: jnp.ndarray, total_cols: int):
+    """Majority-vote consensus over flat columns + per-member mismatch counts.
+
+    member_base: [M] int32 — col_base of the member's cluster (>= total_cols
+        for padding members: their scatters drop and their diffs are garbage).
+    offsets: [M] int32 — member alignment offset within its cluster.
+    codes:   [M, L] uint8 oriented base codes (0..3).
+
+    Returns (consensus [total_cols] uint8, coverage [total_cols] int32,
+    diffs [M] int32).
+    """
+    M, L = codes.shape
+    cols = (member_base + offsets)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    table = jnp.zeros((total_cols, 4), jnp.int32)
+    table = table.at[cols, codes.astype(jnp.int32)].add(1, mode="drop")
+    consensus = jnp.argmax(table, axis=1).astype(jnp.uint8)
+    coverage = table.sum(axis=1)
+    ref_at = consensus.at[cols].get(mode="fill", fill_value=255)
+    diffs = (ref_at != codes).sum(axis=1, dtype=jnp.int32)
+    return consensus, coverage, diffs
+
+
+@functools.partial(jax.jit, static_argnames=())
+def member_diffs(ref_flat: jnp.ndarray, member_base: jnp.ndarray,
+                 offsets: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """Mismatch count of each member against an existing flat consensus."""
+    L = codes.shape[1]
+    cols = (member_base + offsets)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    ref_at = ref_flat.at[cols].get(mode="fill", fill_value=255)
+    return (ref_at != codes).sum(axis=1, dtype=jnp.int32)

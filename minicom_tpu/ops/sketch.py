@@ -1,0 +1,168 @@
+"""Minimizer sketch kernels (reference: sketch.c) — 32-bit TPU-native design.
+
+Reimplements the two live sketch functions of the reference as vectorized
+fixed-shape JAX ops:
+
+* :func:`sketch_reads` — whole-read canonical minimizer (`mm_sketch_two`,
+  sketch.c:238-289): one (hash, kmer, end_pos, strand) record per read.
+* :func:`sketch_windowed` — (w,k)-minimizer scan with tie emission
+  (`mm_sketch_lh_ori`, sketch.c:116-165) used on contig sequences; returns the
+  first ``m`` minimizers per sequence in position order.
+
+TPU-first representation: the reference rolls 64-bit k-mers and ranks them by
+an invertible 64-bit mix (`hash64`, sketch.c:27-37). 64-bit integers are
+emulated on TPU and the emulated graph compiles pathologically, so here a
+k-mer (2k <= 62 bits) lives as an (hi, lo) uint32 pair — each 2-bit base field
+sits at an even bit offset and therefore never straddles the 32-bit boundary,
+making the pair build k static OR-shifts per word. Minimizer RANKING uses a
+murmur3-style 32-bit avalanche of the pair; cluster GROUPING uses the exact
+canonical k-mer value (reassembled to uint64 on the host, where it is native),
+so hash width affects only which k-mer is selected, never correctness.
+K-mers are formed by k shifted ORs over the whole [N, L] code matrix — no
+sequential scan; window minima use an O(log w) sparse-table reduction.
+
+Canonical k-mer rule (as the reference): forward vs reverse-complement,
+strand = 1 iff forward >= rc; exact palindromes (possible only for even k)
+are skipped.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+U32_MAX = jnp.uint32(0xFFFFFFFF)
+
+
+def mix32(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """32-bit avalanche of a (hi, lo) k-mer pair (murmur3 finalizer core)."""
+    h = (hi * jnp.uint32(0x9E3779B1)) ^ (lo * jnp.uint32(0x85EBCA77))
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def _kmer_pairs(codes: jnp.ndarray, k: int, valid_len=None):
+    """All canonical k-mers of [N, L] base codes as uint32 pairs.
+
+    Returns (h32, hi, lo, strand, valid) each [N, S]; position s is the k-mer
+    START (end position = s + k - 1). Invalid = palindrome or window past
+    valid_len.
+    """
+    N, L = codes.shape
+    S = L - k + 1
+    assert S >= 1, "sequence shorter than k"
+    c = codes.astype(jnp.uint32)
+    z = jnp.zeros((N, S), dtype=jnp.uint32)
+    f_hi, f_lo, r_hi, r_lo = z, z, z, z
+    for j in range(k):
+        cj = c[:, j:j + S]
+        foff = 2 * (k - 1 - j)          # forward: base j at bits [foff, foff+2)
+        roff = 2 * j                    # rc: complement base at bits [roff, ...)
+        comp = cj ^ jnp.uint32(3)
+        if foff >= 32:
+            f_hi = f_hi | (cj << jnp.uint32(foff - 32))
+        else:
+            f_lo = f_lo | (cj << jnp.uint32(foff))
+        if roff >= 32:
+            r_hi = r_hi | (comp << jnp.uint32(roff - 32))
+        else:
+            r_lo = r_lo | (comp << jnp.uint32(roff))
+
+    fwd_smaller = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo < r_lo))
+    palindrome = (f_hi == r_hi) & (f_lo == r_lo)
+    strand = jnp.where(fwd_smaller, 0, 1).astype(jnp.int8)
+    hi = jnp.where(fwd_smaller, f_hi, r_hi)
+    lo = jnp.where(fwd_smaller, f_lo, r_lo)
+    h = mix32(hi, lo)
+
+    valid = ~palindrome
+    if valid_len is not None:
+        pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+        valid = valid & (pos + k <= valid_len[:, None])
+    h = jnp.where(valid, h, U32_MAX)
+    return h, hi, lo, strand, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def sketch_reads(codes: jnp.ndarray, k: int):
+    """Whole-read canonical minimizer per read (mm_sketch_two semantics).
+
+    codes: [N, L] uint8 with no ambiguity codes (N already substituted,
+    kthread_reads.c:182-205). Returns (h32 [N] u32, kmer_hi [N] u32,
+    kmer_lo [N] u32, end_pos [N] int32, strand [N] int8). First position wins
+    hash ties (the reference's strict-< update).
+    """
+    h, hi, lo, strand, _valid = _kmer_pairs(codes, k)
+    s = jnp.argmin(h, axis=1)
+    n = jnp.arange(codes.shape[0])
+    return (h[n, s], hi[n, s], lo[n, s],
+            (s + k - 1).astype(jnp.int32), strand[n, s])
+
+
+def _sliding_reduce(x: jnp.ndarray, w: int, op) -> jnp.ndarray:
+    """op-reduction over each length-w window along axis 1 (sparse table)."""
+    S = x.shape[1]
+    f = x
+    span = 1
+    while span * 2 <= w:
+        f = op(f[:, : S - span], f[:, span:])
+        S = S - span
+        span *= 2
+    rem = w - span
+    if rem:
+        out = op(f[:, : x.shape[1] - w + 1], f[:, rem: rem + x.shape[1] - w + 1])
+    else:
+        out = f[:, : x.shape[1] - w + 1]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "m"))
+def sketch_windowed(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int, m: int):
+    """(w,k)-minimizers with tie emission, first ``m`` per sequence.
+
+    codes: [C, Lmax] uint8 (rows padded arbitrarily beyond ``lengths``).
+    Window semantics (canonical, padding-independent): windows of length
+    min(w, S) start at every k-mer position and are CLIPPED at the row's end —
+    the trailing partial windows reproduce the reference's final-min push
+    (sketch.c:163-164) uniformly. Position i is emitted iff its hash equals
+    the minimum of at least one window covering i (including equal-hash ties
+    within a window, sketch.c:139-159).
+
+    Returns (h32, kmer_hi, kmer_lo, end_pos, strand, valid), each [C, m],
+    ordered by position.
+    """
+    C, Lmax = codes.shape
+    S = Lmax - k + 1
+    h, khi, klo, strand, _ = _kmer_pairs(codes, k, valid_len=lengths)
+
+    we = min(w, S)
+    hp = jnp.pad(h, ((0, 0), (0, we - 1)), constant_values=U32_MAX)
+    W = _sliding_reduce(hp, we, jnp.minimum)            # [C, S]
+    padded = jnp.pad(W, ((0, 0), (we - 1, 0)), constant_values=U32_MAX)
+    Wmax = _sliding_reduce(
+        jnp.where(padded == U32_MAX, jnp.uint32(0), padded), we, jnp.maximum)
+    emitted = (Wmax == h) & (h != U32_MAX)
+
+    # first-m selection in position order
+    order = jnp.cumsum(emitted.astype(jnp.int32), axis=1)
+    keep = emitted & (order <= m)
+    slot = jnp.where(keep, order - 1, m)
+    rows = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, S))
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (C, S))
+    def dump(vals, fill, dtype):
+        out = jnp.full((C, m + 1), fill, dtype)
+        return out.at[rows, slot].set(vals, mode="drop")[:, :m]
+    out_h = dump(h, U32_MAX, jnp.uint32)
+    out_hi = dump(khi, 0, jnp.uint32)
+    out_lo = dump(klo, 0, jnp.uint32)
+    out_p = dump(pos, 0, jnp.int32)
+    out_z = dump(strand, 0, jnp.int8)
+    nvalid = jnp.minimum(order[:, -1], m)
+    valid = jnp.arange(m)[None, :] < nvalid[:, None]
+    return out_h, out_hi, out_lo, out_p + (k - 1), out_z, valid

@@ -1,0 +1,257 @@
+"""Cluster formation rounds (reference: kthread_bucket.c).
+
+The reference shards minimizers into 2^14 lock-guarded buckets, radix-sorts
+each bucket, splits equal-hash runs into clusters, and builds a consensus per
+cluster with per-position count tables — ejecting reads whose mismatch count
+exceeds ``e`` and re-bucketing them under a smaller k for the next round
+(kthread_bucket.c:381-509, 562-629).
+
+Here the bucket space disappears: ONE global sort by (hash, -aligned_pos, rid)
+defines the clusters as segments of the sorted array, and consensus for every
+cluster in a round is computed by a single segmented scatter-add
+(`ops.consensus.segmented_consensus`). The k-decreasing rounds and their
+stopping rules (new clustered reads < 100; k-round <= 9; round == R-1) are a
+host loop, exactly mirroring kt_for_bucket's `last_rounds` state machine.
+
+One deliberate fix vs the reference: aligned positions for reverse-strand
+reads are mirrored with the ROUND's k (the reference reuses the initial k for
+all rounds, kthread_bucket.c:52,93, which misaligns mixed-strand clusters in
+later rounds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from minicom_tpu.config import ResolvedConfig
+from minicom_tpu.ops.consensus import orient, segmented_consensus
+from minicom_tpu.ops.sketch import sketch_reads
+
+
+@dataclasses.dataclass
+class ClusterSet:
+    """CSR cluster store: members + consensus contigs, all flat numpy arrays.
+
+    Member offsets are the column of the ORIENTED read's first base within the
+    cluster's consensus (the reference's `pos_0 - pos`,
+    kthread_bucket.c:99-101).
+    """
+
+    readlen: int
+    mem_rid: np.ndarray       # [M] int64
+    mem_off: np.ndarray       # [M] int32
+    mem_dir: np.ndarray       # [M] int8
+    cluster_ptr: np.ndarray   # [C+1] int64
+    ref_flat: np.ndarray      # [R] uint8 consensus codes
+    ref_ptr: np.ndarray       # [C+1] int64
+
+    @property
+    def n_clusters(self) -> int:
+        return len(self.cluster_ptr) - 1
+
+    @property
+    def n_members(self) -> int:
+        return len(self.mem_rid)
+
+    def ref_lengths(self) -> np.ndarray:
+        return np.diff(self.ref_ptr)
+
+    def cluster_sizes(self) -> np.ndarray:
+        return np.diff(self.cluster_ptr)
+
+    @staticmethod
+    def empty(readlen: int) -> "ClusterSet":
+        z64 = np.zeros(0, np.int64)
+        return ClusterSet(readlen, z64.copy(), np.zeros(0, np.int32),
+                          np.zeros(0, np.int8), np.zeros(1, np.int64),
+                          np.zeros(0, np.uint8), np.zeros(1, np.int64))
+
+    @staticmethod
+    def concat(sets: list["ClusterSet"]) -> "ClusterSet":
+        sets = [s for s in sets if s.n_clusters > 0] or sets[:1]
+        L = sets[0].readlen
+        mem_rid = np.concatenate([s.mem_rid for s in sets])
+        mem_off = np.concatenate([s.mem_off for s in sets])
+        mem_dir = np.concatenate([s.mem_dir for s in sets])
+        ptrs, rptrs, base, rbase = [np.zeros(1, np.int64)], [np.zeros(1, np.int64)], 0, 0
+        for s in sets:
+            ptrs.append(s.cluster_ptr[1:] + base)
+            rptrs.append(s.ref_ptr[1:] + rbase)
+            base += s.cluster_ptr[-1]
+            rbase += s.ref_ptr[-1]
+        ref_flat = np.concatenate([s.ref_flat for s in sets])
+        return ClusterSet(L, mem_rid, mem_off, mem_dir,
+                          np.concatenate(ptrs), ref_flat, np.concatenate(rptrs))
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(4, int(n - 1).bit_length())
+
+
+def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray,
+                           codes_oriented: np.ndarray, n_segments: int):
+    """Batched consensus over CSR-grouped members (seg_id sorted ascending).
+
+    Returns (ref_flat, ref_ptr, diffs[M]); consensus span of segment c =
+    max(offset)+L (coverage is contiguous from column 0 because offsets
+    include 0 — callers must pre-rebase offsets to min 0).
+    """
+    L = readlen
+    if len(seg_id) == 0:
+        return np.zeros(0, np.uint8), np.zeros(n_segments + 1, np.int64), np.zeros(0, np.int32)
+    seg_bounds = np.searchsorted(seg_id, np.arange(n_segments + 1))
+    max_off = np.full(n_segments, -1, np.int64)
+    np.maximum.at(max_off, seg_id, offsets)
+    spans = np.where(np.diff(seg_bounds) > 0, max_off + L, 0)
+    ref_ptr = np.zeros(n_segments + 1, np.int64)
+    np.cumsum(spans, out=ref_ptr[1:])
+    total = int(ref_ptr[-1])
+
+    M = len(seg_id)
+    Mp, Tp = _pow2(M), _pow2(max(total, 1))
+    base = np.full(Mp, Tp, np.int64)
+    base[:M] = ref_ptr[seg_id]
+    offs = np.zeros(Mp, np.int32)
+    offs[:M] = offsets
+    cod = np.zeros((Mp, L), np.uint8)
+    cod[:M] = codes_oriented
+    consensus, _cov, diffs = segmented_consensus(
+        jnp.asarray(base, jnp.int32), jnp.asarray(offs), jnp.asarray(cod), Tp)
+    ref_flat = np.asarray(consensus)[:total]
+    return ref_flat, ref_ptr, np.asarray(diffs)[:M]
+
+
+def _sketch(codes_pool: np.ndarray, k: int):
+    """Whole-read minimizer + mirrored (oriented end) position, round-k aware.
+
+    The grouping key is the exact canonical k-mer (uint64, reassembled on the
+    host from the device's uint32 pair) — an identical partition to the
+    reference's invertible hash64 grouping, with zero collision risk.
+    """
+    _h32, khi, klo, pos, strand = (
+        np.asarray(x) for x in sketch_reads(jnp.asarray(codes_pool), k))
+    key = (khi.astype(np.uint64) << np.uint64(32)) | klo.astype(np.uint64)
+    L = codes_pool.shape[1]
+    mpos = np.where(strand == 1, L - pos + k - 2, pos).astype(np.int32)
+    return key, mpos, strand.astype(np.int8)
+
+
+def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig):
+    """Run the k-decreasing clustering rounds.
+
+    Returns (ClusterSet, sg) where sg is the singleton rid list in the
+    deterministic order singles are produced (replaces the mutex-appended
+    reads->sg, kthread_bucket.c:406-430).
+    """
+    L = codes_sub.shape[1]
+    K = cfg.k
+    results: list[ClusterSet] = [ClusterSet.empty(L)]
+    sg_parts: list[np.ndarray] = [np.zeros(0, np.int64)]
+
+    pending = np.asarray(pool, np.int64)
+    pre_cluster_reads = 0
+    cluster_reads_total = 0
+    last = 0
+    rnd = 0
+    k_round = K
+    while len(pending) and k_round >= 4:
+        rnd += 1
+        if K - rnd <= 9:
+            last += 1
+        if rnd == cfg.max_rounds - 1:
+            last += 1
+        is_last = last > 0
+        k_next = K - rnd  # ejected reads re-sketch with this k
+
+        h, mpos, strand = _sketch(codes_sub[pending], k_round)
+        cs, singles, ejected, nreads = _one_round(
+            codes_sub, pending, h, mpos, strand, cfg.diff_threshold, L)
+        results.append(cs)
+        sg_parts.append(singles)
+        cluster_reads_total += nreads
+
+        if is_last:
+            sg_parts.append(ejected)
+            pending = np.zeros(0, np.int64)
+        else:
+            pending = ejected
+        k_round = k_next
+
+        if last:
+            last += 1
+        if cluster_reads_total - pre_cluster_reads < 100:
+            last += 1
+        pre_cluster_reads = cluster_reads_total
+        if last > 1:
+            if len(pending):
+                sg_parts.append(pending)
+            break
+    else:
+        if len(pending):
+            sg_parts.append(pending)
+
+    return ClusterSet.concat(results), np.concatenate(sg_parts)
+
+
+def _one_round(codes_sub, rids, h, mpos, strand, e, L):
+    """One bucket round: sort -> segments -> consensus -> ejection.
+
+    Returns (ClusterSet, singles, ejected, n_clustered_reads).
+    """
+    order = np.lexsort((rids, -mpos.astype(np.int64), h))
+    h, mpos, strand, rids = h[order], mpos[order], strand[order], rids[order]
+    new_seg = np.ones(len(h), bool)
+    new_seg[1:] = h[1:] != h[:-1]
+    seg_id = np.cumsum(new_seg) - 1
+    n_seg = int(seg_id[-1]) + 1 if len(h) else 0
+    seg_start = np.flatnonzero(new_seg)
+    seg_sizes = np.diff(np.append(seg_start, len(h)))
+
+    multi = seg_sizes >= 2
+    singles = rids[np.isin(seg_id, np.flatnonzero(~multi))]
+    keep = multi[seg_id]
+    if not keep.any():
+        return ClusterSet.empty(L), np.sort(singles), np.zeros(0, np.int64), 0
+
+    h2, mpos2, strand2, rids2 = h[keep], mpos[keep], strand[keep], rids[keep]
+    seg2 = (np.cumsum(np.r_[True, h2[1:] != h2[:-1]]) - 1).astype(np.int64)
+    n2 = int(seg2[-1]) + 1
+
+    # alignment offsets: first (max) mpos of each segment anchors column 0
+    first_idx = np.r_[0, 1 + np.flatnonzero(seg2[1:] != seg2[:-1])]
+    off = (mpos2[first_idx][seg2] - mpos2).astype(np.int32)
+
+    oriented = np.asarray(orient(jnp.asarray(codes_sub[rids2]), jnp.asarray(strand2)))
+    _ref, _rptr, diffs = consensus_from_members(L, seg2, off, oriented, n2)
+
+    surv = diffs <= e
+    ejected = rids2[~surv]
+
+    # survivor recount; clusters keep >= 2 members
+    surv_per = np.bincount(seg2[surv], minlength=n2)
+    good = surv_per >= 2
+    lonely = surv & ~good[seg2]          # single survivor -> back to pool
+    ejected = np.concatenate([ejected, rids2[lonely]])
+    final = surv & good[seg2]
+    if not final.any():
+        return ClusterSet.empty(L), np.sort(singles), np.sort(ejected), 0
+
+    segF = seg2[final]
+    remap = np.cumsum(good) - 1
+    segF = remap[segF]
+    nF = int(segF[-1]) + 1
+    offF = off[final]
+    # rebase offsets so each cluster starts at column 0 (reference trims
+    # leading zero-coverage columns, kthread_bucket.c:304-350)
+    min_off = np.full(nF, np.iinfo(np.int32).max, np.int64)
+    np.minimum.at(min_off, segF, offF)
+    offF = (offF - min_off[segF]).astype(np.int32)
+
+    refF, rptrF, _ = consensus_from_members(L, segF, offF, oriented[final], nF)
+    cptr = np.zeros(nF + 1, np.int64)
+    np.cumsum(np.bincount(segF, minlength=nF), out=cptr[1:])
+    cs = ClusterSet(L, rids2[final], offF, strand2[final], cptr, refF, rptrF)
+    return cs, np.sort(singles), np.sort(ejected), int(final.sum())

@@ -1,0 +1,168 @@
+"""Decompressor (reference: decompress.c).
+
+Reverses `pipeline.encode.serialize` exactly. The reference's lazy contig
+extension (`getRef`, decompress.c:92-100) becomes an explicit rule: a
+cluster's consensus length = last member position + readlen, so per-cluster
+ref extents are a prefix-sum and the whole reconstruction is vectorized:
+Δpos prefix-sums, one ragged gather for ref windows, one native diff-decode
+pass, and a masked reverse-complement.
+
+Output assembly by mode (decompress.c:1225-1317):
+* unordered: canonical emission order (allA, allT, allN, AA, TT, NN,
+  single_N, single, cluster members) — a permutation of the input multiset.
+* ORDER: every read is placed at its original index via the id streams.
+* PE: file bit 0 -> append to mate-1 output; bit 1 -> place at slot `peid`
+  of the mate-2 output so line i of file 2 is the mate of line i of file 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from minicom_tpu.native import diff_decode
+from minicom_tpu.ops.pack import (ascii_to_codes, codes_to_ascii, unpack_2bit,
+                                  unpack_bits)
+from minicom_tpu.pipeline.encode import DPOS_ESCAPE
+
+
+def _unpack_cluster_reads(meta: dict, streams: dict) -> np.ndarray:
+    """Reconstruct all cluster member reads -> [M, L] uint8 ASCII rows, in
+    canonical emission order."""
+    L = meta["readlen"]
+    M = meta["n_members"]
+    C = meta["n_clusters"]
+    if M == 0:
+        return np.zeros((0, L), np.uint8)
+    cnt = np.frombuffer(streams["cnt"], np.uint32).astype(np.int64)
+    d16 = np.frombuffer(streams["dpos"], np.uint16)
+    dx = np.frombuffer(streams["dposx"], np.uint32)
+    delta = d16.astype(np.int64)
+    esc = d16 == DPOS_ESCAPE
+    delta[esc] = dx
+    dirs = unpack_bits(np.frombuffer(streams["dir"], np.uint8), M)
+
+    ptr = np.zeros(C + 1, np.int64)
+    np.cumsum(cnt, out=ptr[1:])
+    segc = np.repeat(np.arange(C), cnt)
+    # per-cluster prefix sum of deltas -> positions
+    gpos = np.cumsum(delta)
+    base = np.zeros(C, np.int64)
+    base[1:] = gpos[ptr[1:-1] - 1]
+    pos = gpos - base[segc]
+
+    # ref extents: last pos + L per cluster
+    last_pos = gpos[ptr[1:] - 1] - base
+    ref_len = last_pos + L
+    rptr = np.zeros(C + 1, np.int64)
+    np.cumsum(ref_len, out=rptr[1:])
+    ref_cat = unpack_2bit(np.frombuffer(streams["ref"], np.uint8), int(rptr[-1]))
+
+    win = (rptr[segc] + pos)[:, None] + np.arange(L)[None, :]
+    ref_rows = codes_to_ascii(ref_cat[win])
+    reads = diff_decode(streams["diff"], ref_rows, M)
+    # reverse complement dir=1 rows
+    rc_mask = dirs == 1
+    if rc_mask.any():
+        codes = ascii_to_codes(reads[rc_mask])
+        comp = np.where(codes < 4, 3 - codes, codes).astype(np.uint8)
+        reads[rc_mask] = codes_to_ascii(np.flip(comp, axis=1))
+    return reads
+
+
+def _const_reads(char: bytes, n: int, L: int) -> np.ndarray:
+    return np.full((n, L), char[0], np.uint8)
+
+
+def decode_streams(meta: dict, streams: dict) -> dict:
+    """Decode every stream -> dict of [*, L] uint8 ASCII blocks keyed by class."""
+    L = meta["readlen"]
+    out = {}
+    out["alla"] = _const_reads(b"A", meta["n_alla"], L)
+    out["allt"] = _const_reads(b"T", meta["n_allt"], L)
+    out["alln"] = _const_reads(b"N", meta["n_alln"], L)
+    out["aa"] = diff_decode(streams["aa"], _const_reads(b"A", meta["n_aa"], L),
+                            meta["n_aa"])
+    out["tt"] = diff_decode(streams["tt"], _const_reads(b"T", meta["n_tt"], L),
+                            meta["n_tt"])
+    out["nn"] = diff_decode(streams["nn"], _const_reads(b"N", meta["n_nn"], L),
+                            meta["n_nn"])
+    ns = np.frombuffer(streams["nsingle"], np.uint8)
+    out["nsingle"] = (ns.reshape(meta["n_nsingle"], L + 1)[:, :L]
+                      if meta["n_nsingle"] else np.zeros((0, L), np.uint8))
+    sg = unpack_2bit(np.frombuffer(streams["single"], np.uint8),
+                     meta["n_single"] * L)
+    out["single"] = codes_to_ascii(sg.reshape(meta["n_single"], L))
+    out["clusters"] = _unpack_cluster_reads(meta, streams)
+    return out
+
+
+_CLASS_ORDER = ["alla", "allt", "alln", "aa", "tt", "nn", "nsingle", "single",
+                "clusters"]
+
+
+def assemble_unordered(meta: dict, streams: dict) -> np.ndarray:
+    blocks = decode_streams(meta, streams)
+    return np.concatenate([blocks[k] for k in _CLASS_ORDER], axis=0)
+
+
+def _class_ids(meta: dict, streams: dict) -> dict:
+    ids = {}
+    for key, stream in [("alla", "ids_alla"), ("allt", "ids_allt"),
+                        ("alln", "ids_alln"), ("aa", "ids_aa"),
+                        ("tt", "ids_tt"), ("nn", "ids_nn"),
+                        ("nsingle", "ids_nsingle"), ("single", "ids_single")]:
+        ids[key] = np.cumsum(np.frombuffer(streams[stream], np.uint32)
+                             .astype(np.int64))
+    return ids
+
+
+def _cluster_ids(meta: dict, streams: dict) -> np.ndarray:
+    """Decode the abs/delta cluster id stream (kthread_dump.c:117-128)."""
+    M = meta["n_members"]
+    if M == 0:
+        return np.zeros(0, np.int64)
+    cnt = np.frombuffer(streams["cnt"], np.uint32).astype(np.int64)
+    d16 = np.frombuffer(streams["dpos"], np.uint16)
+    raw = np.frombuffer(streams["ids"], np.uint32)
+    C = meta["n_clusters"]
+    ptr = np.zeros(C + 1, np.int64)
+    np.cumsum(cnt, out=ptr[1:])
+    first = np.zeros(M, bool)
+    first[ptr[:-1]] = True
+    is_abs = first | (d16 != 0)
+    # ids[i] = raw[i] if abs else ids[i-1] + raw[i]  (uint32 wraparound,
+    # kthread_dump.c:121-126) — a segmented cumsum anchored at abs entries:
+    # out[i] = csum[i] - csum[a] + raw[a] for the latest abs index a <= i.
+    seg = np.cumsum(is_abs) - 1
+    csum = np.cumsum(raw, dtype=np.uint64).astype(np.uint32)
+    abs_idx = np.flatnonzero(is_abs)
+    out = (csum - csum[abs_idx][seg] + raw[abs_idx][seg]).astype(np.uint32)
+    return out.astype(np.int64)
+
+
+def assemble_order(meta: dict, streams: dict) -> np.ndarray:
+    blocks = decode_streams(meta, streams)
+    ids = _class_ids(meta, streams)
+    L = meta["readlen"]
+    out = np.zeros((meta["n_seq"], L), np.uint8)
+    for key in _CLASS_ORDER[:-1]:
+        if len(blocks[key]):
+            out[ids[key]] = blocks[key]
+    cids = _cluster_ids(meta, streams)
+    if len(cids):
+        out[cids] = blocks["clusters"]
+    return out
+
+
+def assemble_pe(meta: dict, streams: dict) -> tuple[np.ndarray, np.ndarray]:
+    blocks = decode_streams(meta, streams)
+    emitted = np.concatenate([blocks[k] for k in _CLASS_ORDER], axis=0)
+    n_emit = emitted.shape[0]
+    fbits = unpack_bits(np.frombuffer(streams["fbits"], np.uint8), n_emit)
+    peids = np.frombuffer(streams["peids"], np.uint32).astype(np.int64)
+    L = meta["readlen"]
+    half = meta["half"]
+    file1 = emitted[fbits == 0]
+    file2 = np.zeros((half, L), np.uint8)
+    file2[peids] = emitted[fbits == 1]
+    return file1, file2

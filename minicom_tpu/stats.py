@@ -1,0 +1,32 @@
+"""Structured per-stage timing & counters (replaces the reference's two stage
+banners, preprocess.c:186,235, and its disabled [M::func] log lines)."""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+
+
+class StageStats:
+    def __init__(self):
+        self.timings: dict[str, float] = {}
+        self.counters: dict[str, int | float] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.timings[name] = self.timings.get(name, 0.0) + time.perf_counter() - t0
+
+    def set(self, key: str, value):
+        self.counters[key] = value
+
+    def summary(self) -> dict:
+        return {"timings_s": {k: round(v, 4) for k, v in self.timings.items()},
+                **self.counters}
+
+    def dump(self) -> str:
+        return json.dumps(self.summary(), sort_keys=True)

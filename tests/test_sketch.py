@@ -1,0 +1,134 @@
+"""Sketch kernels vs a tiny pure-Python oracle of the canonical spec.
+
+The k-mer/strand/palindrome semantics transcribe sketch.c:238-289; the ranking
+hash is this package's own 32-bit avalanche (ops/sketch.py mix32) since the
+reference's 64-bit hash64 would require emulated u64 arithmetic on TPU.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minicom_tpu.ops import sketch as sk
+
+M32 = 0xFFFFFFFF
+
+
+def oracle_mix32(hi, lo):
+    h = ((hi * 0x9E3779B1) & M32) ^ ((lo * 0x85EBCA77) & M32)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & M32
+    h ^= h >> 16
+    return h
+
+
+def oracle_kmers(codes, k):
+    """All (h32, kmer, end_pos, strand) canonical k-mers (skips palindromes)."""
+    mask = (1 << (2 * k)) - 1
+    shift1 = 2 * (k - 1)
+    kf = kr = 0
+    out = []
+    for i, c in enumerate(codes):
+        c = int(c)
+        kf = ((kf << 2) | c) & mask
+        kr = (kr >> 2) | ((3 ^ c) << shift1)
+        if kf == kr:
+            continue
+        z = 0 if kf < kr else 1
+        if i >= k - 1:
+            km = kf if z == 0 else kr
+            out.append((oracle_mix32(km >> 32, km & M32), km, i, z))
+    return out
+
+
+def oracle_sketch_two(codes, k):
+    kmers = oracle_kmers(codes, k)
+    # first position wins hash ties (strict-< update in the reference loop)
+    return min(kmers, key=lambda t: (t[0], t[2])) if kmers else None
+
+
+def test_mix32_matches_oracle(rng):
+    hi = rng.integers(0, 1 << 32, size=64, dtype=np.uint32)
+    lo = rng.integers(0, 1 << 32, size=64, dtype=np.uint32)
+    got = np.asarray(sk.mix32(jnp.asarray(hi), jnp.asarray(lo)))
+    for a, b, g in zip(hi, lo, got):
+        assert int(g) == oracle_mix32(int(a), int(b))
+
+
+@pytest.mark.parametrize("k", [4, 17, 31])
+def test_sketch_reads_matches_oracle(rng, k):
+    codes = rng.integers(0, 4, size=(40, 64)).astype(np.uint8)
+    h, khi, klo, pos, strand = (np.asarray(x)
+                                for x in sk.sketch_reads(jnp.asarray(codes), k))
+    for i in range(40):
+        o = oracle_sketch_two(codes[i], k)
+        assert o is not None
+        km = (int(khi[i]) << 32) | int(klo[i])
+        assert (int(h[i]), km, int(pos[i]), int(strand[i])) == o
+
+
+def test_sketch_reads_revcomp_invariant(rng):
+    """A read and its reverse complement share the canonical minimizer."""
+    k, L = 17, 80
+    codes = rng.integers(0, 4, size=(20, L)).astype(np.uint8)
+    rc = np.flip(3 - codes, axis=1).astype(np.uint8)
+    h1, hi1, lo1, p1, s1 = (np.asarray(x) for x in sk.sketch_reads(jnp.asarray(codes), k))
+    h2, hi2, lo2, p2, s2 = (np.asarray(x) for x in sk.sketch_reads(jnp.asarray(rc), k))
+    assert np.array_equal(h1, h2)
+    assert np.array_equal(hi1, hi2) and np.array_equal(lo1, lo2)
+    assert np.array_equal(s1, 1 - s2)
+    # end positions mirror: the minimizer occupies the same bases
+    assert np.array_equal(p2, L - 1 - (p1 - k + 1))
+
+
+def oracle_windowed_set(codes, k, w):
+    """Minimizer position set: i emitted iff h[i] == min over some window.
+
+    Windows start at every k-mer position and are clipped at the row end
+    (the trailing partial windows mirror the reference's final-min push,
+    sketch.c:163-164)."""
+    kmers = oracle_kmers(codes, k)
+    H = {i: h for h, _km, i, _z in kmers}
+    S = len(codes) - k + 1
+    we = min(w, S)
+    emitted = set()
+    for s in range(0, S):
+        win = range(s, min(s + we, S))
+        vals = [H[i + k - 1] for i in win if i + k - 1 in H]
+        if not vals:
+            continue
+        m = min(vals)
+        for i in win:
+            if H.get(i + k - 1) == m:
+                emitted.add(i + k - 1)
+    return sorted(emitted)
+
+
+@pytest.mark.parametrize("k,w", [(5, 3), (17, 8)])
+def test_sketch_windowed_matches_oracle(rng, k, w):
+    C, L = 12, 90
+    codes = rng.integers(0, 4, size=(C, L)).astype(np.uint8)
+    lengths = rng.integers(k + w + 3, L + 1, size=C).astype(np.int32)
+    m = 64
+    h, khi, klo, pos, strand, valid = (np.asarray(x) for x in sk.sketch_windowed(
+        jnp.asarray(codes), jnp.asarray(lengths), k, w, m))
+    for c in range(C):
+        want = oracle_windowed_set(codes[c][:lengths[c]], k, w)[:m]
+        got = list(pos[c][valid[c]])
+        assert got == want, f"contig {c}"
+        H = {i: hh for hh, _km, i, _z in oracle_kmers(codes[c][:lengths[c]], k)}
+        for hh, p in zip(h[c][valid[c]], got):
+            assert int(hh) == H[p]
+
+
+def test_sketch_windowed_short_contig(rng):
+    # fewer k-mers than the window: clipped windows still emit suffix minima
+    k, w = 5, 16
+    codes = rng.integers(0, 4, size=(3, 12)).astype(np.uint8)
+    lengths = np.array([12, 12, 12], np.int32)
+    h, khi, klo, pos, strand, valid = (np.asarray(x) for x in sk.sketch_windowed(
+        jnp.asarray(codes), jnp.asarray(lengths), k, w, 4))
+    for c in range(3):
+        assert valid[c].sum() >= 1
