@@ -1,0 +1,97 @@
+"""Benchmark: encode+decode a synthetic SRR-style dataset on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "encode_MBps", "value": <warm encode MB/s>, "unit": "MB/s",
+   "vs_baseline": <xz_bytes / mtc_bytes>, ...extras}
+
+`vs_baseline` compares compressed size against raw `xz -9e` of the same
+sequence stream (the strongest general-purpose codec available in-image; the
+reference's whole pitch is beating generic compressors on read data — its
+published numbers are sizes only, BASELINE.md). vs_baseline > 1 means the
+minimizer-contig pipeline beats plain xz by that factor.
+"""
+
+from __future__ import annotations
+
+import json
+import lzma
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_dataset(path: str, n_reads: int, L: int = 100,
+                 coverage_genome: int = 400_000, err: float = 0.01,
+                 seed: int = 7) -> int:
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, coverage_genome, dtype=np.uint8)
+    starts = rng.integers(0, coverage_genome - L, n_reads)
+    reads = genome[starts[:, None] + np.arange(L)]
+    em = rng.random((n_reads, L)) < err
+    reads = np.where(em, (reads + rng.integers(1, 4, (n_reads, L))) % 4,
+                     reads).astype(np.uint8)
+    flip = rng.random(n_reads) < 0.5
+    reads[flip] = np.flip(3 - reads[flip], axis=1)
+    txt = np.frombuffer(b"ACGT", np.uint8)[reads].copy()
+    txt[rng.random((n_reads, L)) < 0.001] = ord("N")
+    with open(path, "wb") as f:
+        qual = b"I" * L
+        for i in range(n_reads):
+            f.write(b"@r%d\n" % i + txt[i].tobytes() + b"\n+\n" + qual + b"\n")
+    return n_reads * (L + 1)
+
+
+def main():
+    n_reads = int(os.environ.get("BENCH_READS", "200000"))
+    tmp = tempfile.mkdtemp(prefix="mtc_bench_")
+    fq = os.path.join(tmp, "bench.fastq")
+    arc = os.path.join(tmp, "bench.mtc")
+    dec = os.path.join(tmp, "bench.dec")
+    seq_bytes = make_dataset(fq, n_reads)
+
+    from minicom_tpu import compressor
+
+    # warmup run compiles every kernel; second run measures
+    t0 = time.time()
+    compressor.compress(fq, arc)
+    cold_s = time.time() - t0
+    t0 = time.time()
+    summary = compressor.compress(fq, arc)
+    warm_s = time.time() - t0
+    mtc_bytes = os.path.getsize(arc)
+
+    t0 = time.time()
+    compressor.decompress(arc, dec)
+    dec_s = time.time() - t0
+
+    a = sorted(open(fq, "rb").read().splitlines()[1::4])
+    b = sorted(open(dec, "rb").read().splitlines())
+    roundtrip_ok = a == b
+
+    raw_seq = b"\n".join(a) + b"\n"
+    xz_bytes = len(lzma.compress(raw_seq, preset=9 | lzma.PRESET_EXTREME))
+
+    mb = seq_bytes / 1e6
+    result = {
+        "metric": "encode_MBps",
+        "value": round(mb / warm_s, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(xz_bytes / mtc_bytes, 4),
+        "decode_MBps": round(mb / dec_s, 3),
+        "cold_encode_s": round(cold_s, 2),
+        "archive_bytes": mtc_bytes,
+        "xz9e_bytes": xz_bytes,
+        "ratio": round(seq_bytes / mtc_bytes, 3),
+        "roundtrip_exact": bool(roundtrip_ok),
+        "n_reads": n_reads,
+    }
+    print(json.dumps(result))
+    if not roundtrip_ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,7 +57,7 @@ def compress(reads_path: str, out_path: str, cfg: CompressorConfig | None = None
     rcfg = cfg.resolve(L if L else 1, n_singletons=len(sg))
 
     with stats.stage("merge"):
-        cset = merge_contigs(cset, rcfg)
+        cset = merge_contigs(cset, rcfg, cls.codes_sub)
     stats.set("clusters_merged", cset.n_clusters)
 
     with stats.stage("realign"):

@@ -1,0 +1,45 @@
+"""Device mesh + sharded encode step.
+
+The reference's only parallel axis is a pthread pool over 2^14 lock-sharded
+minimizer buckets (kthread_reads.c:208-218, SURVEY.md C22). The TPU-native
+equivalent: a 1-D mesh axis `d` over the read batch for embarrassingly
+parallel stages (classify/sketch) and over minimizer-hash space for the
+grouping stages. `sharded_cluster_step` lets XLA insert the collectives for
+the global sort (an all-to-all under the hood) by jitting the fused step with
+batch-sharded inputs — the canonical, device-count-independent result comes
+from the deterministic sort order, not from any locking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from minicom_tpu.ops.step import cluster_step
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("d",))
+
+
+def sharded_cluster_step(mesh: Mesh, k: int, span_cols: int):
+    """jit the fused cluster step with the read batch sharded over `d`.
+
+    The minimizer sort is global: XLA lowers it to a distributed sort with
+    all-to-all exchange over ICI; consensus scatter-adds land in a replicated
+    column table (psum). Output sharding: consensus/coverage replicated,
+    per-read vectors sharded like the input.
+    """
+    data = NamedSharding(mesh, P("d", None))
+    repl = NamedSharding(mesh, P())
+    vec = NamedSharding(mesh, P("d"))
+    return jax.jit(
+        lambda codes: cluster_step(codes, k, span_cols),
+        in_shardings=data,
+        out_shardings=(repl, repl, vec, vec, vec),
+    )

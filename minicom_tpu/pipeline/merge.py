@@ -1,14 +1,239 @@
 """Contig merge rounds (reference: combine_cluster, kthread_cb.c:570-661).
 
-Implemented in the next milestone; currently a pass-through so the end-to-end
-slice (classify -> cluster -> serialize -> roundtrip) is exercised first.
+Each iteration the reference sketches every contig with windowed
+(w,k)-minimizers, indexes the first m of them, probes each contig's own
+minimizers against the index, verifies a candidate with `match_pro`
+(mismatches over the full two-sided overlap extension, kthread_cb.c:36-52),
+and greedily merges under a racy trylock protocol (kthread_cb.c:330-345).
+Iterations continue until the contig count changes by < 100
+(kthread_cb.c:621-625).
+
+Deterministic TPU-native rebuild:
+1. batched windowed sketch of all contigs (length-bucketed, ops/sketch.py),
+2. candidate pairs = ordered pairs within equal-k-mer segments of one global
+   sort (the sorted-hash gather table replacing khash/mm_idx_get),
+3. banded overlap scoring as a vectorized gather-compare,
+4. conflict-free greedy matching over the (score, a, b)-sorted candidate
+   list — one merge per contig per iteration, schedule-independent,
+5. merged consensus via the shared segmented scatter-add kernel
+   (construct_ref2 semantics: members sorted by position, span
+   [0, max(off)+L), no ejection).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import jax.numpy as jnp
+
 from minicom_tpu.config import ResolvedConfig
-from minicom_tpu.pipeline.cluster import ClusterSet
+from minicom_tpu.ops.consensus import orient
+from minicom_tpu.ops.sketch import sketch_windowed
+from minicom_tpu.pipeline.cluster import ClusterSet, consensus_from_members
+
+_MAX_SEG = 32          # candidate entries considered per k-mer segment
+_SKETCH_BUDGET = 1 << 26  # uint8 elements per padded sketch batch
 
 
-def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig) -> ClusterSet:
+def _pow2(n: int) -> int:
+    return 1 << max(4, int(n - 1).bit_length())
+
+
+def _select(cs: ClusterSet, idx: np.ndarray) -> ClusterSet:
+    """Subset of clusters (by index array) as a new ClusterSet."""
+    sizes = cs.cluster_sizes()[idx]
+    rlens = cs.ref_lengths()[idx]
+    cptr = np.zeros(len(idx) + 1, np.int64)
+    np.cumsum(sizes, out=cptr[1:])
+    rptr = np.zeros(len(idx) + 1, np.int64)
+    np.cumsum(rlens, out=rptr[1:])
+    mem_idx = (np.repeat(cs.cluster_ptr[idx] - cptr[:-1], sizes)
+               + np.arange(int(cptr[-1])))
+    ref_idx = (np.repeat(cs.ref_ptr[idx] - rptr[:-1], rlens)
+               + np.arange(int(rptr[-1])))
+    return ClusterSet(cs.readlen, cs.mem_rid[mem_idx], cs.mem_off[mem_idx],
+                      cs.mem_dir[mem_idx], cptr, cs.ref_flat[ref_idx], rptr)
+
+
+def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
+    """Windowed minimizers of every contig, length-bucketed batches.
+
+    Returns flat arrays (key64, contig_id, pos, strand) over all valid
+    entries, at most m per contig, deterministic order.
+    """
+    lens = cs.ref_lengths()
+    C = cs.n_clusters
+    order = np.argsort(lens, kind="stable")
+    keys, cids, poss, dirs = [], [], [], []
+    i = 0
+    while i < C:
+        Lmax = _pow2(max(int(lens[order[i]]), k + 1))
+        rows_cap = max(1, _SKETCH_BUDGET // Lmax)
+        j = i
+        while j < C and j - i < rows_cap and lens[order[j]] <= Lmax:
+            j += 1
+        batch = order[i:j]
+        nb = len(batch)
+        nb_pad = _pow2(nb)
+        pad = np.zeros((nb_pad, Lmax), np.uint8)
+        blens = lens[batch]
+        rows = np.repeat(np.arange(nb), blens)
+        cols = np.arange(int(blens.sum())) - np.repeat(
+            np.cumsum(np.r_[0, blens[:-1]]), blens)
+        flat = (np.repeat(cs.ref_ptr[batch], blens)
+                + cols).astype(np.int64)
+        pad[rows, cols] = cs.ref_flat[flat]
+        lens_pad = np.zeros(nb_pad, np.int32)
+        lens_pad[:nb] = blens
+        h, hi, lo, pos, strand, valid = (np.asarray(x) for x in sketch_windowed(
+            jnp.asarray(pad), jnp.asarray(lens_pad), k, min(w, Lmax - k + 1), m))
+        v = valid[:nb]
+        key = (hi[:nb].astype(np.uint64) << np.uint64(32)) | lo[:nb].astype(np.uint64)
+        cid = np.broadcast_to(batch[:, None], v.shape)
+        keys.append(key[v])
+        cids.append(cid[v])
+        poss.append(pos[:nb][v])
+        dirs.append(strand[:nb][v])
+        i = j
+    if not keys:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint64), z, z.astype(np.int32), z.astype(np.int8)
+    return (np.concatenate(keys), np.concatenate(cids).astype(np.int64),
+            np.concatenate(poss).astype(np.int32),
+            np.concatenate(dirs).astype(np.int8))
+
+
+def _candidate_pairs(key, cid, pos, strand):
+    """Ordered pairs (a, b, shift) of contigs sharing a minimizer k-mer with
+    equal strand. shift d aligns b into a's coordinates (col_b0 at col d)."""
+    srt = np.lexsort((pos, cid, key))
+    key, cid, pos, strand = key[srt], cid[srt], pos[srt], strand[srt]
+    new_seg = np.ones(len(key), bool)
+    new_seg[1:] = key[1:] != key[:-1]
+    seg = np.cumsum(new_seg) - 1
+    # cap entries per segment for quadratic pairing
+    rank = np.arange(len(key)) - np.repeat(
+        np.flatnonzero(new_seg), np.diff(np.r_[np.flatnonzero(new_seg), len(key)]))
+    keep = rank < _MAX_SEG
+    key, cid, pos, strand, seg = (x[keep] for x in (key, cid, pos, strand, seg))
+    sizes = np.bincount(seg)
+    sizes = sizes[sizes > 0]
+    if len(sizes) == 0:
+        return (np.zeros(0, np.int64),) * 3
+    starts = np.cumsum(np.r_[0, sizes[:-1]])
+    # all ordered pairs within each segment
+    p2 = sizes * sizes
+    tot = int(p2.sum())
+    segp = np.repeat(np.arange(len(sizes)), p2)
+    local = np.arange(tot) - np.repeat(np.cumsum(np.r_[0, p2[:-1]]), p2)
+    ia = starts[segp] + local // np.repeat(sizes, p2)
+    ib = starts[segp] + local % np.repeat(sizes, p2)
+    ok = (ia != ib) & (cid[ia] != cid[ib]) & (strand[ia] == strand[ib])
+    a, b = cid[ia[ok]], cid[ib[ok]]
+    d = (pos[ia[ok]] - pos[ib[ok]]).astype(np.int64)
+    if len(a) == 0:
+        return (np.zeros(0, np.int64),) * 3
+    uniq = np.unique(np.stack([a, b, d], axis=1), axis=0)
+    return uniq[:, 0], uniq[:, 1], uniq[:, 2]
+
+
+def _score_pairs(cs: ClusterSet, a, b, d, cap: int):
+    """match_pro (kthread_cb.c:36-52): mismatches over the full overlap of
+    contig b shifted by d into contig a's coordinates. Returns int32 scores
+    (cap+1 when the overlap is empty)."""
+    lens = cs.ref_lengths()
+    la, lb = lens[a], lens[b]
+    lo = np.maximum(0, d)
+    hi = np.minimum(la, d + lb)
+    olen = hi - lo
+    scores = np.full(len(a), cap + 1, np.int32)
+    todo = np.flatnonzero(olen > 0)
+    CH = 4096
+    for s in range(0, len(todo), CH):
+        sel = todo[s:s + CH]
+        om = int(olen[sel].max())
+        ar = np.arange(om)
+        colA = lo[sel, None] + ar[None, :]
+        valid = ar[None, :] < olen[sel, None]
+        ia = cs.ref_ptr[a[sel], None] + colA
+        ib = cs.ref_ptr[b[sel], None] + colA - d[sel, None]
+        mism = (cs.ref_flat[np.where(valid, ia, 0)]
+                != cs.ref_flat[np.where(valid, ib, 0)]) & valid
+        scores[sel] = mism.sum(axis=1, dtype=np.int32)
+    return scores
+
+
+def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
+                  codes_sub: np.ndarray) -> ClusterSet:
+    L = cset.readlen
+    pre_tot = 0
+    while cset.n_clusters > 1:
+        key, cid, pos, strand = sketch_contigs(
+            cset, cfg.k, cfg.contig_window, cfg.first_minimizers)
+        a, b, d = _candidate_pairs(key, cid, pos, strand)
+        n_merges = 0
+        if len(a):
+            scores = _score_pairs(cset, a, b, d, cfg.cb_threshold)
+            ok = scores <= cfg.cb_threshold
+            a, b, d, scores = a[ok], b[ok], d[ok], scores[ok]
+            # deterministic greedy matching, best score first
+            order = np.lexsort((d, b, a, scores))
+            matched = np.zeros(cset.n_clusters, bool)
+            pa, pb, pd = [], [], []
+            for i in order:
+                if not matched[a[i]] and not matched[b[i]]:
+                    matched[a[i]] = matched[b[i]] = True
+                    pa.append(a[i]); pb.append(b[i]); pd.append(d[i])
+            n_merges = len(pa)
+            if n_merges:
+                cset = _apply_merges(cset, np.array(pa), np.array(pb),
+                                     np.array(pd), codes_sub)
+        tot = cset.n_clusters
+        if abs(pre_tot - tot) < 100 or n_merges == 0:
+            break
+        pre_tot = tot
     return cset
+
+
+def _apply_merges(cs: ClusterSet, a, b, d, codes_sub) -> ClusterSet:
+    """Merge pairs (a <- b shifted by d); rebuild merged consensus."""
+    L = cs.readlen
+    touched = np.zeros(cs.n_clusters, bool)
+    touched[a] = touched[b] = True
+    keep = _select(cs, np.flatnonzero(~touched))
+
+    sizes = cs.cluster_sizes()
+    # B offsets shift by d when d >= 0; A shifts by -d when d < 0
+    shift_a = np.where(d < 0, -d, 0)
+    shift_b = np.where(d >= 0, d, 0)
+    na, nb = sizes[a], sizes[b]
+    pair_sizes = na + nb
+    P = len(a)
+    cptr = np.zeros(P + 1, np.int64)
+    np.cumsum(pair_sizes, out=cptr[1:])
+    M = int(cptr[-1])
+    seg = np.repeat(np.arange(P), pair_sizes)
+    # member gather: first A's members then B's per pair
+    local = np.arange(M) - np.repeat(cptr[:-1], pair_sizes)
+    from_a = local < np.repeat(na, pair_sizes)
+    la = local
+    lb = local - np.repeat(na, pair_sizes)
+    src = np.where(from_a,
+                   np.repeat(cs.cluster_ptr[a], pair_sizes) + la,
+                   np.repeat(cs.cluster_ptr[b], pair_sizes) + lb)
+    mem_rid = cs.mem_rid[src]
+    mem_dir = cs.mem_dir[src]
+    mem_off = (cs.mem_off[src].astype(np.int64)
+               + np.where(from_a, np.repeat(shift_a, pair_sizes),
+                          np.repeat(shift_b, pair_sizes)))
+
+    oriented = np.zeros((M, L), np.uint8)
+    CH = 1 << 20
+    for s in range(0, M, CH):
+        t = min(s + CH, M)
+        oriented[s:t] = np.asarray(orient(
+            jnp.asarray(codes_sub[mem_rid[s:t]]), jnp.asarray(mem_dir[s:t])))
+    ref_flat, ref_ptr, _ = consensus_from_members(
+        L, seg, mem_off, oriented, P)
+    merged = ClusterSet(L, mem_rid, mem_off.astype(np.int32), mem_dir,
+                        cptr, ref_flat, ref_ptr)
+    return ClusterSet.concat([keep, merged])

@@ -1,0 +1,75 @@
+"""Contig merge stage: overlapping clusters collapse into longer contigs."""
+
+import numpy as np
+
+from minicom_tpu import CompressorConfig
+from minicom_tpu.pipeline import classify as classify_mod
+from minicom_tpu.pipeline import cluster as cluster_mod
+from minicom_tpu.pipeline.merge import merge_contigs, _select
+from tests.conftest import genome_reads
+
+
+def _build(rng, n=800, L=100, genome_len=2500):
+    reads = genome_reads(rng, n, L, genome_len=genome_len, err=0.005)
+    codes = np.frombuffer(b"ACGT", np.uint8)  # noqa
+    from minicom_tpu.ops.pack import ascii_to_codes
+    cmat = ascii_to_codes(reads)
+    cfg = CompressorConfig().resolve(L)
+    cls = classify_mod.classify(cmat, cfg)
+    cset, sg = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool, cfg)
+    return cls, cset, sg, cfg
+
+
+def test_merge_reduces_clusters_and_grows_contigs(rng):
+    cls, cset, sg, cfg = _build(rng)
+    c0 = cset.n_clusters
+    m0 = cset.n_members
+    len0 = cset.ref_lengths().max() if c0 else 0
+    merged = merge_contigs(cset, cfg, cls.codes_sub)
+    assert merged.n_members == m0          # merging never loses reads
+    assert merged.n_clusters <= c0
+    if merged.n_clusters < c0:
+        assert merged.ref_lengths().max() > len0
+
+    # invariants: offsets in range, span == max(off) + L per cluster
+    L = cset.readlen
+    sizes = merged.cluster_sizes()
+    seg = np.repeat(np.arange(merged.n_clusters), sizes)
+    max_off = np.zeros(merged.n_clusters, np.int64)
+    np.maximum.at(max_off, seg, merged.mem_off)
+    assert np.array_equal(merged.ref_lengths(), max_off + L)
+    min_off = np.full(merged.n_clusters, 1 << 60, np.int64)
+    np.minimum.at(min_off, seg, merged.mem_off)
+    assert (min_off == 0).all()
+
+
+def test_merge_roundtrip_members_match_reads(rng):
+    """After merging, every member decodes back to its read via the diff
+    path used by the serializer (mismatch budget only bounds the consensus
+    distance, not correctness)."""
+    cls, cset, sg, cfg = _build(rng, n=500)
+    merged = merge_contigs(cset, cfg, cls.codes_sub)
+    L = merged.readlen
+    sizes = merged.cluster_sizes()
+    seg = np.repeat(np.arange(merged.n_clusters), sizes)
+    # reconstruct each member from ref window: ref[off:off+L] should be close
+    # to the oriented read; equality after applying stored diffs is exercised
+    # by the full roundtrip tests — here check window bounds only.
+    assert (merged.mem_off >= 0).all()
+    assert (merged.mem_off + L <= merged.ref_lengths()[seg]).all()
+
+
+def test_select_subset(rng):
+    cls, cset, sg, cfg = _build(rng, n=300)
+    if cset.n_clusters < 3:
+        return
+    idx = np.array([0, cset.n_clusters - 1])
+    sub = _select(cset, idx)
+    assert sub.n_clusters == 2
+    for j, c in enumerate(idx):
+        np.testing.assert_array_equal(
+            sub.mem_rid[sub.cluster_ptr[j]:sub.cluster_ptr[j + 1]],
+            cset.mem_rid[cset.cluster_ptr[c]:cset.cluster_ptr[c + 1]])
+        np.testing.assert_array_equal(
+            sub.ref_flat[sub.ref_ptr[j]:sub.ref_ptr[j + 1]],
+            cset.ref_flat[cset.ref_ptr[c]:cset.ref_ptr[c + 1]])
