@@ -16,6 +16,19 @@ order-preserving (`-p`), paired-end (`-1/-2`); full parameter surface
 # emulation on TPU compiles pathologically, so k-mers travel as uint32 pairs
 # and only the HOST reassembles them into native uint64 sort keys.
 
+import os as _os
+
+import jax as _jax
+
+# XLA compiles through the TPU tunnel cost 10-70 s each; persist them so any
+# shape is compiled at most once per machine.
+_cache_dir = _os.environ.get(
+    "MINICOM_TPU_XLA_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "minicom_tpu_xla"))
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 __version__ = "0.1.0"
 
 from minicom_tpu.config import CompressorConfig  # noqa: E402,F401

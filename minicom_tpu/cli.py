@@ -42,9 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", type=int, default=0, help="contig-merge mismatch cap")
     p.add_argument("-R", type=int, default=35, help="max clustering rounds")
     p.add_argument("-p", action="store_true", help="order-preserving mode")
-    p.add_argument("--codec", default="xz",
-                   choices=["xz", "bz2", "zlib", "rans", "store"],
-                   help="entropy backend per stream")
+    p.add_argument("--codec", default="auto",
+                   choices=["auto", "xz", "o1rc", "bz2", "zlib", "store"],
+                   help="entropy backend per stream (auto = best of xz/o1rc)")
     p.add_argument("--stats", action="store_true", help="print JSON stats")
     return p
 

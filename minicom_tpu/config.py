@@ -43,8 +43,9 @@ class CompressorConfig:
     max_search: int = 500           # realign candidates scanned per probe
     max_match: int = 0              # derived: readlen/2 (or 2L/3 small-input)
 
-    # entropy backend: "xz" | "bz2" | "zlib" | "rans" | "store"
-    codec: str = "xz"
+    # entropy backend: "auto" (best of xz/o1rc per stream) | "xz" | "o1rc"
+    # | "bz2" | "zlib" | "store"
+    codec: str = "auto"
 
     # ------------------------------------------------------------------
     def resolve(self, readlen: int, n_singletons: Optional[int] = None) -> "ResolvedConfig":

@@ -2,8 +2,13 @@
 
 The reference shells out to `bsc e -b64p -e2` per stream and `7z` for one PE
 stream (`minicom:115-148,247`). Here each stream is entropy-coded in-process
-through a named backend. "xz" (LZMA) is the default host backend; "rans" is
-the on-chip target backend (minicom_tpu.entropy.rans).
+through a named backend:
+
+* "xz"   — LZMA raw stream (host, stdlib),
+* "o1rc" — the package's native order-1 adaptive binary range coder
+           (minicom_tpu/native/rangecoder.cpp),
+* "auto" — per-stream best of {xz, o1rc} (recorded in the stream table),
+* "bz2" / "zlib" / "store" — stdlib alternatives.
 
 Streams are independent, so archives remain deterministic and
 host/device-count independent.
@@ -28,9 +33,9 @@ def compress(name: str, data: bytes) -> bytes:
         return bz2.compress(data, 9)
     if name == "zlib":
         return zlib.compress(data, 9)
-    if name == "rans":
-        from minicom_tpu.entropy import rans
-        return rans.compress(data)
+    if name == "o1rc":
+        from minicom_tpu import native
+        return native.o1rc_encode(data)
     raise ValueError(f"unknown codec {name!r}")
 
 
@@ -43,9 +48,9 @@ def decompress(name: str, data: bytes, raw_len: int) -> bytes:
         return bz2.decompress(data)
     if name == "zlib":
         return zlib.decompress(data)
-    if name == "rans":
-        from minicom_tpu.entropy import rans
-        return rans.decompress(data, raw_len)
+    if name == "o1rc":
+        from minicom_tpu import native
+        return native.o1rc_decode(data, raw_len)
     raise ValueError(f"unknown codec {name!r}")
 
 

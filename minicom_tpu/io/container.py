@@ -28,9 +28,12 @@ def write_container(path: str, meta: dict, streams: Dict[str, bytes],
     off = 0
     for name in sorted(streams):
         raw = streams[name]
-        blob = backend.compress(codec, raw)
+        if codec == "auto":
+            used, blob = backend.best_of(["xz", "o1rc"], raw)
+        else:
+            used, blob = codec, backend.compress(codec, raw)
         table.append({"name": name, "off": off, "clen": len(blob),
-                      "rlen": len(raw), "codec": codec})
+                      "rlen": len(raw), "codec": used})
         blobs.append(blob)
         off += len(blob)
     header = dict(meta)

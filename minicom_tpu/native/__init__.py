@@ -16,7 +16,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "_native.so")
-_SRCS = [os.path.join(_DIR, "diffcodec.cpp")]
+_SRCS = [os.path.join(_DIR, "diffcodec.cpp"),
+         os.path.join(_DIR, "rangecoder.cpp")]
 
 _lib = None
 
@@ -55,6 +56,12 @@ def _load():
         lib.diff_encode_lengths.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_int64, ctypes.c_int64,
                                             ctypes.c_int, ctypes.c_void_p]
+        lib.o1rc_encode.restype = ctypes.c_int64
+        lib.o1rc_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_int64]
+        lib.o1rc_decode.restype = ctypes.c_int64
+        lib.o1rc_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
     else:
         _lib = False
@@ -163,3 +170,31 @@ def _py_decode(text: bytes, ref_rows) -> np.ndarray:
             rd[pos] = rf[pos]
             pos += 1
     return out
+
+
+def o1rc_encode(data: bytes) -> bytes:
+    """Order-1 adaptive binary range coder (native only — no fallback)."""
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native range coder unavailable")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cap = len(buf) + len(buf) // 8 + 64
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.o1rc_encode(buf.ctypes.data, len(buf), out.ctypes.data, cap)
+    if n < 0:
+        raise RuntimeError("o1rc_encode overflow")
+    return out[:n].tobytes()
+
+
+def o1rc_decode(data: bytes, raw_len: int) -> bytes:
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native range coder unavailable")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(raw_len, dtype=np.uint8)
+    lib.o1rc_decode(buf.ctypes.data, len(buf), out.ctypes.data, raw_len)
+    return out.tobytes()
+
+
+def has_native() -> bool:
+    return bool(_load())

@@ -89,6 +89,60 @@ def _kmer_pairs(codes: jnp.ndarray, k: int, valid_len=None):
     return h, hi, lo, strand, valid
 
 
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def sketch_reads_dyn(codes: jnp.ndarray, k, k_max: int = 31):
+    """Whole-read canonical minimizer with k as a TRACED scalar.
+
+    One XLA program serves every k in [2, k_max] — the k-decreasing cluster
+    rounds (kt_for_bucket's kmer = K - round, kthread_bucket.c:592) reuse a
+    single compile instead of one per round. K-mers are accumulated from the
+    END position: forward base j-back contributes at static bit offset 2j,
+    reverse-complement at dynamic offset 2(k-1-j) (a traced-scalar shift),
+    each masked by j < k.
+
+    Returns (h32, kmer_hi, kmer_lo, end_pos, strand), like sketch_reads.
+    """
+    N, L = codes.shape
+    k = jnp.asarray(k, jnp.uint32)
+    c = codes.astype(jnp.uint32)
+    z32 = jnp.zeros((N, L), dtype=jnp.uint32)
+    f_hi, f_lo, r_hi, r_lo = z32, z32, z32, z32
+    # Forward k-mers have STATIC bit offsets when indexed from the k-mer END
+    # (base j-back sits at bits 2j); reverse-complement k-mers have static
+    # offsets when indexed from the START (complement of base j-forward at
+    # bits 2j). A single traced roll by k-1 aligns the start-indexed rc
+    # array to end positions — no per-term dynamic shifts, so the program
+    # stays Mosaic-friendly while k is a runtime scalar.
+    for j in range(k_max):
+        live = j < k
+        cE = jnp.pad(c, ((0, 0), (j, 0)))[:, :L] if j else c      # c[i-j]
+        cS = jnp.pad(c, ((0, 0), (0, j)))[:, j:] if j else c      # c[s+j]
+        fv = jnp.where(live, cE, 0)
+        rv = jnp.where(live, cS ^ jnp.uint32(3), 0)
+        if 2 * j >= 32:
+            f_hi = f_hi | (fv << jnp.uint32(2 * j - 32))
+            r_hi = r_hi | (rv << jnp.uint32(2 * j - 32))
+        else:
+            f_lo = f_lo | (fv << jnp.uint32(2 * j))
+            r_lo = r_lo | (rv << jnp.uint32(2 * j))
+    # rc of the k-mer ending at i lives at start index i-(k-1): roll right
+    r_hi = jnp.roll(r_hi, k - 1, axis=1)
+    r_lo = jnp.roll(r_lo, k - 1, axis=1)
+
+    fwd_smaller = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo < r_lo))
+    palindrome = (f_hi == r_hi) & (f_lo == r_lo)
+    strand = jnp.where(fwd_smaller, 0, 1).astype(jnp.int8)
+    hi = jnp.where(fwd_smaller, f_hi, r_hi)
+    lo = jnp.where(fwd_smaller, f_lo, r_lo)
+    h = mix32(hi, lo)
+    pos_i = jnp.arange(L, dtype=jnp.uint32)[None, :]
+    valid = ~palindrome & (pos_i + 1 >= k)
+    h = jnp.where(valid, h, U32_MAX)
+    s = jnp.argmin(h, axis=1)
+    n = jnp.arange(N)
+    return h[n, s], hi[n, s], lo[n, s], s.astype(jnp.int32), strand[n, s]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def sketch_reads(codes: jnp.ndarray, k: int):
     """Whole-read canonical minimizer per read (mm_sketch_two semantics).

@@ -28,7 +28,7 @@ import numpy as np
 
 from minicom_tpu.config import ResolvedConfig
 from minicom_tpu.ops.consensus import orient, segmented_consensus
-from minicom_tpu.ops.sketch import sketch_reads
+from minicom_tpu.ops.sketch import sketch_reads_dyn
 
 
 @dataclasses.dataclass
@@ -130,11 +130,25 @@ def _sketch(codes_pool: np.ndarray, k: int):
     The grouping key is the exact canonical k-mer (uint64, reassembled on the
     host from the device's uint32 pair) — an identical partition to the
     reference's invertible hash64 grouping, with zero collision risk.
+    The batch is pow2-padded and k is traced (sketch_reads_dyn) so ALL
+    k-decreasing rounds share a handful of XLA compiles.
     """
+    n, L = codes_pool.shape
+    small, big = 1 << 13, 1 << 17  # two fixed batch shapes -> two compiles
+    parts = []
+    step = small if n <= small else big
+    for s in range(0, n, step):
+        t = min(s + step, n)
+        chunk = codes_pool[s:t]
+        if t - s < step:
+            chunk = np.concatenate(
+                [chunk, np.zeros((step - (t - s), L), np.uint8)])
+        parts.append(tuple(
+            np.asarray(x)[: t - s]
+            for x in sketch_reads_dyn(jnp.asarray(chunk), k)))
     _h32, khi, klo, pos, strand = (
-        np.asarray(x) for x in sketch_reads(jnp.asarray(codes_pool), k))
+        np.concatenate([p[i] for p in parts]) for i in range(5))
     key = (khi.astype(np.uint64) << np.uint64(32)) | klo.astype(np.uint64)
-    L = codes_pool.shape[1]
     mpos = np.where(strand == 1, L - pos + k - 2, pos).astype(np.int32)
     return key, mpos, strand.astype(np.int8)
 

@@ -132,3 +132,12 @@ def test_sketch_windowed_short_contig(rng):
         jnp.asarray(codes), jnp.asarray(lengths), k, w, 4))
     for c in range(3):
         assert valid[c].sum() >= 1
+
+
+@pytest.mark.parametrize("k", [4, 17, 31])
+def test_sketch_reads_dyn_matches_static(rng, k):
+    codes = rng.integers(0, 4, size=(30, 64)).astype(np.uint8)
+    a = [np.asarray(x) for x in sk.sketch_reads(jnp.asarray(codes), k)]
+    b = [np.asarray(x) for x in sk.sketch_reads_dyn(jnp.asarray(codes), k)]
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
