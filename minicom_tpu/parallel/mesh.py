@@ -27,6 +27,35 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("d",))
 
 
+# ---------------------------------------------------------------------------
+# Active mesh for the host pipeline. When set, the pipeline's device batches
+# (sketch, consensus) are placed row-sharded over axis `d`; XLA parallelizes
+# the row-wise math and inserts collectives for the cross-row reductions.
+# Archives stay byte-identical for ANY device count because all grouping /
+# ordering decisions are deterministic host logic (tests/test_sharding.py).
+_ACTIVE_MESH: Mesh | None = None
+
+
+def set_mesh(mesh: Mesh | None) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
+
+def shard_rows(arr):
+    """device_put a [N, ...] batch row-sharded over the active mesh (no-op
+    without one). N must divide by the mesh size — callers pad to pow2/fixed
+    batch shapes which are multiples of any realistic device count."""
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return arr
+    spec = P("d", *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
 def sharded_cluster_step(mesh: Mesh, k: int, span_cols: int):
     """jit the fused cluster step with the read batch sharded over `d`.
 

@@ -29,6 +29,7 @@ import numpy as np
 from minicom_tpu.config import ResolvedConfig
 from minicom_tpu.ops.consensus import orient, segmented_consensus
 from minicom_tpu.ops.sketch import sketch_reads_dyn
+from minicom_tpu.parallel.mesh import shard_rows
 
 
 @dataclasses.dataclass
@@ -119,7 +120,8 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
     cod = np.zeros((Mp, L), np.uint8)
     cod[:M] = codes_oriented
     consensus, _cov, diffs = segmented_consensus(
-        jnp.asarray(base, jnp.int32), jnp.asarray(offs), jnp.asarray(cod), Tp)
+        shard_rows(jnp.asarray(base, jnp.int32)), shard_rows(jnp.asarray(offs)),
+        shard_rows(jnp.asarray(cod)), Tp)
     ref_flat = np.asarray(consensus)[:total]
     return ref_flat, ref_ptr, np.asarray(diffs)[:M]
 
@@ -145,7 +147,7 @@ def _sketch(codes_pool: np.ndarray, k: int):
                 [chunk, np.zeros((step - (t - s), L), np.uint8)])
         parts.append(tuple(
             np.asarray(x)[: t - s]
-            for x in sketch_reads_dyn(jnp.asarray(chunk), k)))
+            for x in sketch_reads_dyn(shard_rows(jnp.asarray(chunk)), k)))
     _h32, khi, klo, pos, strand = (
         np.concatenate([p[i] for p in parts]) for i in range(5))
     key = (khi.astype(np.uint64) << np.uint64(32)) | klo.astype(np.uint64)
