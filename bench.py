@@ -45,7 +45,7 @@ def make_dataset(path: str, n_reads: int, L: int = 100,
 
 
 def main():
-    n_reads = int(os.environ.get("BENCH_READS", "200000"))
+    n_reads = int(os.environ.get("BENCH_READS", "100000"))
     tmp = tempfile.mkdtemp(prefix="mtc_bench_")
     fq = os.path.join(tmp, "bench.fastq")
     arc = os.path.join(tmp, "bench.mtc")

@@ -17,7 +17,8 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "_native.so")
 _SRCS = [os.path.join(_DIR, "diffcodec.cpp"),
-         os.path.join(_DIR, "rangecoder.cpp")]
+         os.path.join(_DIR, "rangecoder.cpp"),
+         os.path.join(_DIR, "realign.cpp")]
 
 _lib = None
 
@@ -62,6 +63,14 @@ def _load():
         lib.o1rc_decode.restype = ctypes.c_int64
         lib.o1rc_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                     ctypes.c_void_p, ctypes.c_int64]
+        lib.realign_probe.restype = ctypes.c_int64
+        lib.realign_probe.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
     else:
         _lib = False
@@ -198,3 +207,34 @@ def o1rc_decode(data: bytes, raw_len: int) -> bytes:
 
 def has_native() -> bool:
     return bool(_load())
+
+
+def realign_probe(ref_flat: np.ndarray, ref_ptr: np.ndarray,
+                  sg_codes: np.ndarray, dict_starts: np.ndarray,
+                  seg_len: int, thr: int, max_search: int,
+                  rc_skip_cost: bool):
+    """Native realign probe (realign.cpp); returns candidate arrays
+    (sg_idx, contig, offset, dir, popcount) in deterministic scan order."""
+    lib = _load()
+    if not lib:
+        return None
+    n_sg, L = sg_codes.shape
+    ref_flat = _as_c(ref_flat)
+    ref_ptr = np.ascontiguousarray(ref_ptr, np.int64)
+    sg_codes = _as_c(sg_codes)
+    dict_starts = np.ascontiguousarray(dict_starts, np.int32)
+    cap = max(1 << 16, 8 * n_sg)
+    while True:
+        out = [np.empty(cap, np.int32), np.empty(cap, np.int32),
+               np.empty(cap, np.int32), np.empty(cap, np.int8),
+               np.empty(cap, np.int32)]
+        n = lib.realign_probe(
+            ref_flat.ctypes.data, ref_ptr.ctypes.data, len(ref_ptr) - 1,
+            sg_codes.ctypes.data, n_sg, L,
+            dict_starts.ctypes.data, seg_len, len(dict_starts),
+            thr, max_search, int(rc_skip_cost),
+            out[0].ctypes.data, out[1].ctypes.data, out[2].ctypes.data,
+            out[3].ctypes.data, out[4].ctypes.data, cap)
+        if n < cap:
+            return tuple(o[:n] for o in out)
+        cap *= 4

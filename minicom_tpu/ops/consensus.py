@@ -47,6 +47,55 @@ def segmented_consensus(member_base: jnp.ndarray, offsets: jnp.ndarray,
     return consensus, coverage, diffs
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def scatter_counts(table: jnp.ndarray, member_base: jnp.ndarray,
+                   offsets: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate one member chunk's one-hot base counts into the donated
+    [Tp, 4] table (padding members carry base >= Tp and drop)."""
+    L = codes.shape[1]
+    cols = (member_base + offsets)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    return table.at[cols, codes.astype(jnp.int32)].add(1, mode="drop")
+
+
+@jax.jit
+def consensus_finalize(table: jnp.ndarray) -> jnp.ndarray:
+    """[Tp, 4] counts -> 2-bit packed consensus words [Tp/16] uint32
+    (argmax ties -> lowest code, the reference's strict-> rule)."""
+    consensus = jnp.argmax(table, axis=1).astype(jnp.uint32)
+    cw = consensus.reshape(-1, 16)
+    packed = jnp.zeros(cw.shape[0], jnp.uint32)
+    for i in range(16):
+        packed = packed | (cw[:, i] << jnp.uint32(2 * i))
+    return packed
+
+
+@jax.jit
+def member_diffs_packed(packed: jnp.ndarray, member_base: jnp.ndarray,
+                        offsets: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """Mismatch counts of a member chunk against the packed consensus."""
+    L = codes.shape[1]
+    cols = (member_base + offsets)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    words = packed.at[cols >> 4].get(mode="fill", fill_value=0)
+    ref = (words >> ((cols & 15).astype(jnp.uint32) * 2)) & 3
+    return (ref != codes.astype(jnp.uint32)).sum(axis=1).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("total_cols",))
+def segmented_consensus_packed(member_base: jnp.ndarray, offsets: jnp.ndarray,
+                               codes: jnp.ndarray, total_cols: int):
+    """segmented_consensus with transfer-friendly outputs: the consensus is
+    2-bit packed into uint32 words on device (16 bases/word, the
+    pack_2bit_words layout) and diffs are int16 — an 8x/2x cut in
+    device->host bytes, which is the scarce resource on the tunneled chip."""
+    consensus, _cov, diffs = segmented_consensus(
+        member_base, offsets, codes, total_cols)
+    cw = consensus.reshape(-1, 16).astype(jnp.uint32)
+    packed = jnp.zeros(cw.shape[0], jnp.uint32)
+    for i in range(16):
+        packed = packed | (cw[:, i] << jnp.uint32(2 * i))
+    return packed, diffs.astype(jnp.int16)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def member_diffs(ref_flat: jnp.ndarray, member_base: jnp.ndarray,
                  offsets: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:

@@ -88,6 +88,14 @@ def pack_2bit_words(codes: np.ndarray) -> np.ndarray:
     return w
 
 
+def unpack_2bit_words(words: np.ndarray, length: int) -> np.ndarray:
+    """Inverse of pack_2bit_words: [..., W] uint32 -> [..., length] codes."""
+    w = words.astype(np.uint32)
+    out = np.stack([(w >> np.uint32(2 * i)) & 3 for i in range(16)], axis=-1)
+    out = out.reshape(words.shape[:-1] + (-1,))
+    return out[..., :length].astype(np.uint8)
+
+
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 

@@ -27,7 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from minicom_tpu.config import ResolvedConfig
-from minicom_tpu.ops.consensus import orient, segmented_consensus
+from minicom_tpu.ops.consensus import (consensus_finalize, member_diffs_packed,
+                                       orient, scatter_counts)
+from minicom_tpu.ops.pack import unpack_2bit_words
 from minicom_tpu.ops.sketch import sketch_reads_dyn
 from minicom_tpu.parallel.mesh import shard_rows
 
@@ -92,6 +94,16 @@ def _pow2(n: int) -> int:
     return 1 << max(4, int(n - 1).bit_length())
 
 
+def _pow4(n: int) -> int:
+    """Next power of 4 (with floor 2^14): column-table size buckets, so the
+    set of XLA programs is small and data-independent (every compile through
+    the TPU tunnel is expensive — they must amortize across datasets)."""
+    p = 14
+    while (1 << p) < n:
+        p += 2
+    return 1 << p
+
+
 def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray,
                            codes_oriented: np.ndarray, n_segments: int):
     """Batched consensus over CSR-grouped members (seg_id sorted ascending).
@@ -99,6 +111,10 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
     Returns (ref_flat, ref_ptr, diffs[M]); consensus span of segment c =
     max(offset)+L (coverage is contiguous from column 0 because offsets
     include 0 — callers must pre-rebase offsets to min 0).
+
+    Device work runs in FIXED batch shapes (member blocks of 2^13 / 2^17,
+    column tables in power-of-4 buckets) accumulating into one donated count
+    table, so every (shape) program is compiled at most once per machine.
     """
     L = readlen
     if len(seg_id) == 0:
@@ -112,18 +128,33 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
     total = int(ref_ptr[-1])
 
     M = len(seg_id)
-    Mp, Tp = _pow2(M), _pow2(max(total, 1))
-    base = np.full(Mp, Tp, np.int64)
-    base[:M] = ref_ptr[seg_id]
-    offs = np.zeros(Mp, np.int32)
-    offs[:M] = offsets
-    cod = np.zeros((Mp, L), np.uint8)
-    cod[:M] = codes_oriented
-    consensus, _cov, diffs = segmented_consensus(
-        shard_rows(jnp.asarray(base, jnp.int32)), shard_rows(jnp.asarray(offs)),
-        shard_rows(jnp.asarray(cod)), Tp)
-    ref_flat = np.asarray(consensus)[:total]
-    return ref_flat, ref_ptr, np.asarray(diffs)[:M]
+    Tp = _pow4(max(total, 1))
+    base_all = ref_ptr[seg_id].astype(np.int32)
+
+    small, big = 1 << 13, 1 << 17
+    step = small if M <= small else big
+    table = jnp.zeros((Tp, 4), jnp.int32)
+    chunks = []
+    for s in range(0, M, step):
+        t = min(s + step, M)
+        base = np.full(step, Tp, np.int32)
+        base[: t - s] = base_all[s:t]
+        offs = np.zeros(step, np.int32)
+        offs[: t - s] = offsets[s:t]
+        cod = np.zeros((step, L), np.uint8)
+        cod[: t - s] = codes_oriented[s:t]
+        chunk = (shard_rows(jnp.asarray(base)), shard_rows(jnp.asarray(offs)),
+                 shard_rows(jnp.asarray(cod)))
+        chunks.append(chunk)
+        table = scatter_counts(table, *chunk)
+    packed = consensus_finalize(table)
+    diffs = np.empty(M, np.int32)
+    for i, s in enumerate(range(0, M, step)):
+        t = min(s + step, M)
+        d = member_diffs_packed(packed, *chunks[i])
+        diffs[s:t] = np.asarray(d)[: t - s]
+    ref_flat = unpack_2bit_words(np.asarray(packed), total)
+    return ref_flat, ref_ptr, diffs
 
 
 def _sketch(codes_pool: np.ndarray, k: int):

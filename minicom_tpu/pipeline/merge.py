@@ -66,14 +66,15 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
     keys, cids, poss, dirs = [], [], [], []
     i = 0
     while i < C:
-        Lmax = _pow2(max(int(lens[order[i]]), k + 1))
-        rows_cap = max(1, _SKETCH_BUDGET // Lmax)
+        # fixed batch shapes: Lmax in pow2 buckets, row count fixed per Lmax
+        # tier — the XLA program set is small and data-independent
+        Lmax = max(_pow2(max(int(lens[order[i]]), k + 1)), 128)
+        nb_pad = 4096 if Lmax <= 8192 else max(1, _SKETCH_BUDGET // Lmax)
         j = i
-        while j < C and j - i < rows_cap and lens[order[j]] <= Lmax:
+        while j < C and j - i < nb_pad and lens[order[j]] <= Lmax:
             j += 1
         batch = order[i:j]
         nb = len(batch)
-        nb_pad = _pow2(nb)
         pad = np.zeros((nb_pad, Lmax), np.uint8)
         blens = lens[batch]
         rows = np.repeat(np.arange(nb), blens)

@@ -119,32 +119,41 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
         if len(sg) == 0:
             break
 
-        # --- dictionaries over current singletons -------------------------
-        sgc = codes_sub[sg]
-        sg_words = pack_2bit_words(sgc)                 # [S, W]
-        dicts = [SortedKeyDict(_pack_key(sgc, s, e - s + 1))
-                 for (s, e) in ranges]
-
         # --- probe every (contig, offset) window fwd + rc -----------------
-        ref_lens = cset.ref_lengths()
-        n_off = np.maximum(ref_lens - L + 1, 0)
-        tot_w = int(n_off.sum())
-        if tot_w == 0:
-            break
-        wseg = np.repeat(np.arange(cset.n_clusters), n_off)
-        woff = np.arange(tot_w) - np.repeat(np.cumsum(np.r_[0, n_off[:-1]]), n_off)
-        wflat = cset.ref_ptr[wseg] + woff               # flat window starts
-
-        cand_sg, cand_cl, cand_off, cand_dir, cand_pop = \
-            _probe_and_verify(cset, wflat, wseg, woff, dicts, ranges,
-                              sg_words, L, thr, cfg.max_search)
-
-        # --- encode-cost acceptance rule ----------------------------------
-        if len(cand_sg):
-            ok = _encode_cost_ok(cset, codes_sub, sg, cand_sg, cand_cl,
-                                 cand_off, cand_dir, thr, L)
+        from minicom_tpu import native
+        sgc = codes_sub[sg]
+        probe = native.realign_probe(
+            cset.ref_flat, cset.ref_ptr, sgc,
+            np.array([s for s, _ in ranges], np.int32),
+            cfg.dict_seg_len, thr, cfg.max_search, rc_skip_cost=thr <= 24)
+        if probe is not None:
             cand_sg, cand_cl, cand_off, cand_dir, cand_pop = (
-                x[ok] for x in (cand_sg, cand_cl, cand_off, cand_dir, cand_pop))
+                x.astype(np.int64) if x.dtype != np.int8 else x
+                for x in probe)
+            cand_sg, cand_cl, cand_off, cand_dir, cand_pop = _dedupe(
+                cand_sg, cand_cl, cand_off, cand_dir, cand_pop)
+        else:  # pure-Python environment: vectorized numpy reference path
+            sg_words = pack_2bit_words(sgc)             # [S, W]
+            dicts = [SortedKeyDict(_pack_key(sgc, s, e - s + 1))
+                     for (s, e) in ranges]
+            ref_lens = cset.ref_lengths()
+            n_off = np.maximum(ref_lens - L + 1, 0)
+            tot_w = int(n_off.sum())
+            if tot_w == 0:
+                break
+            wseg = np.repeat(np.arange(cset.n_clusters), n_off)
+            woff = (np.arange(tot_w)
+                    - np.repeat(np.cumsum(np.r_[0, n_off[:-1]]), n_off))
+            wflat = cset.ref_ptr[wseg] + woff           # flat window starts
+            cand_sg, cand_cl, cand_off, cand_dir, cand_pop = \
+                _probe_and_verify(cset, wflat, wseg, woff, dicts, ranges,
+                                  sg_words, L, thr, cfg.max_search)
+            if len(cand_sg):
+                ok = _encode_cost_ok(cset, codes_sub, sg, cand_sg, cand_cl,
+                                     cand_off, cand_dir, thr, L)
+                cand_sg, cand_cl, cand_off, cand_dir, cand_pop = (
+                    x[ok] for x in (cand_sg, cand_cl, cand_off, cand_dir,
+                                    cand_pop))
 
         # --- best candidate per read (deterministic claim) ----------------
         if len(cand_sg):
@@ -172,6 +181,19 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
     ea = np.concatenate(extra_a) if len(extra_a) > 1 else extra_a[0]
     et = np.concatenate(extra_t) if len(extra_t) > 1 else extra_t[0]
     return cset, sg, ea, et
+
+
+def _dedupe(cand_sg, cand_cl, cand_off, cand_dir, cand_pop):
+    """Drop duplicate (sg, contig, off, dir) placements found via several
+    dictionaries (first occurrence wins; pop is identical for duplicates)."""
+    if len(cand_sg) == 0:
+        return cand_sg, cand_cl, cand_off, cand_dir, cand_pop
+    key = np.stack([cand_sg, cand_cl, cand_off,
+                    cand_dir.astype(np.int64)], axis=1)
+    _, uniq = np.unique(key, axis=0, return_index=True)
+    uniq.sort()
+    return tuple(x[uniq] for x in
+                 (cand_sg, cand_cl, cand_off, cand_dir, cand_pop))
 
 
 def _probe_and_verify(cset, wflat, wseg, woff, dicts, ranges, sg_words,

@@ -78,3 +78,47 @@ def test_realign_absorbs_near_polyA(rng):
     # 8 G's -> 2-bit popcount 8 <= 16; diff cost ~ 8 literals + digits << 0.4L
     near_ids = set(range(300, 300 + n_near))
     assert near_ids & set(ea.tolist()) == near_ids
+
+
+def test_native_probe_matches_numpy(rng):
+    """The C++ probe core and the numpy reference path find the same
+    candidate set (same dedup key set and popcounts)."""
+    from minicom_tpu import native
+    from minicom_tpu.pipeline.realign import (
+        SortedKeyDict, _pack_key, _probe_and_verify, _encode_cost_ok, _dedupe)
+    from minicom_tpu.ops.pack import pack_2bit_words
+
+    cls, cset, sg, cfg = _pipeline(rng, n=500, err=0.03)
+    if len(sg) == 0 or cset.n_clusters == 0:
+        return
+    L = cset.readlen
+    ranges = cfg.dict_ranges()
+    thr = cfg.diff_threshold
+    sgc = cls.codes_sub[sg]
+
+    probe = native.realign_probe(
+        cset.ref_flat, cset.ref_ptr, sgc,
+        np.array([s for s, _ in ranges], np.int32),
+        cfg.dict_seg_len, thr, cfg.max_search, rc_skip_cost=thr <= 24)
+    assert probe is not None
+    nat = _dedupe(*[x.astype(np.int64) for x in probe[:4]] + [probe[4]])
+
+    sg_words = pack_2bit_words(sgc)
+    dicts = [SortedKeyDict(_pack_key(sgc, s, e - s + 1)) for (s, e) in ranges]
+    ref_lens = cset.ref_lengths()
+    n_off = np.maximum(ref_lens - L + 1, 0)
+    tot_w = int(n_off.sum())
+    wseg = np.repeat(np.arange(cset.n_clusters), n_off)
+    woff = np.arange(tot_w) - np.repeat(np.cumsum(np.r_[0, n_off[:-1]]), n_off)
+    wflat = cset.ref_ptr[wseg] + woff
+    ref = _probe_and_verify(cset, wflat, wseg, woff, dicts, ranges,
+                            sg_words, L, thr, cfg.max_search)
+    ok = _encode_cost_ok(cset, cls.codes_sub, sg, ref[0], ref[1], ref[2],
+                         ref[3], thr, L)
+    ref = tuple(x[ok] for x in ref)
+
+    def keyset(t):
+        return set(zip(t[0].tolist(), t[1].tolist(), t[2].tolist(),
+                       t[3].tolist(), t[4].tolist()))
+
+    assert keyset(nat) == keyset(ref)
