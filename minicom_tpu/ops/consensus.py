@@ -15,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def orient(codes: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
@@ -37,8 +38,8 @@ def segmented_consensus(member_base: jnp.ndarray, offsets: jnp.ndarray,
     diffs [M] int32).
     """
     M, L = codes.shape
-    cols = (member_base + offsets)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
-    table = jnp.zeros((total_cols, 4), jnp.int32)
+    cols = (member_base + offsets)[:, None] + np.arange(L, dtype=np.int32)[None, :]
+    table = jnp.zeros_like(cols, shape=(total_cols, 4))
     table = table.at[cols, codes.astype(jnp.int32)].add(1, mode="drop")
     consensus = jnp.argmax(table, axis=1).astype(jnp.uint8)
     coverage = table.sum(axis=1)
@@ -53,7 +54,7 @@ def scatter_counts(table: jnp.ndarray, member_base: jnp.ndarray,
     """Accumulate one member chunk's one-hot base counts into the donated
     [Tp, 4] table (padding members carry base >= Tp and drop)."""
     L = codes.shape[1]
-    cols = (member_base + offsets)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    cols = (member_base + offsets)[:, None] + np.arange(L, dtype=np.int32)[None, :]
     return table.at[cols, codes.astype(jnp.int32)].add(1, mode="drop")
 
 
@@ -63,9 +64,9 @@ def consensus_finalize(table: jnp.ndarray) -> jnp.ndarray:
     (argmax ties -> lowest code, the reference's strict-> rule)."""
     consensus = jnp.argmax(table, axis=1).astype(jnp.uint32)
     cw = consensus.reshape(-1, 16)
-    packed = jnp.zeros(cw.shape[0], jnp.uint32)
+    packed = jnp.zeros_like(cw[:, 0])
     for i in range(16):
-        packed = packed | (cw[:, i] << jnp.uint32(2 * i))
+        packed = packed | (cw[:, i] << np.uint32(2 * i))
     return packed
 
 
@@ -74,7 +75,7 @@ def member_diffs_packed(packed: jnp.ndarray, member_base: jnp.ndarray,
                         offsets: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     """Mismatch counts of a member chunk against the packed consensus."""
     L = codes.shape[1]
-    cols = (member_base + offsets)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    cols = (member_base + offsets)[:, None] + np.arange(L, dtype=np.int32)[None, :]
     words = packed.at[cols >> 4].get(mode="fill", fill_value=0)
     ref = (words >> ((cols & 15).astype(jnp.uint32) * 2)) & 3
     return (ref != codes.astype(jnp.uint32)).sum(axis=1).astype(jnp.int16)
@@ -90,9 +91,9 @@ def segmented_consensus_packed(member_base: jnp.ndarray, offsets: jnp.ndarray,
     consensus, _cov, diffs = segmented_consensus(
         member_base, offsets, codes, total_cols)
     cw = consensus.reshape(-1, 16).astype(jnp.uint32)
-    packed = jnp.zeros(cw.shape[0], jnp.uint32)
+    packed = jnp.zeros_like(cw[:, 0])
     for i in range(16):
-        packed = packed | (cw[:, i] << jnp.uint32(2 * i))
+        packed = packed | (cw[:, i] << np.uint32(2 * i))
     return packed, diffs.astype(jnp.int16)
 
 
@@ -101,6 +102,6 @@ def member_diffs(ref_flat: jnp.ndarray, member_base: jnp.ndarray,
                  offsets: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     """Mismatch count of each member against an existing flat consensus."""
     L = codes.shape[1]
-    cols = (member_base + offsets)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    cols = (member_base + offsets)[:, None] + np.arange(L, dtype=np.int32)[None, :]
     ref_at = ref_flat.at[cols].get(mode="fill", fill_value=255)
     return (ref_at != codes).sum(axis=1, dtype=jnp.int32)

@@ -32,19 +32,36 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-U32_MAX = jnp.uint32(0xFFFFFFFF)
+# Constants inside jitted bodies are NUMPY values on purpose: a `jnp.`
+# constant is created EAGERLY on the default device at trace time and then
+# fetched back during lowering (mlir ir_constant -> Array._value) — through
+# the tunneled TPU backend that round trip costs seconds to minutes per
+# process. Host numpy constants lower straight from host memory.
+U32_MAX = np.uint32(0xFFFFFFFF)
 
 
 def mix32(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     """32-bit avalanche of a (hi, lo) k-mer pair (murmur3 finalizer core)."""
-    h = (hi * jnp.uint32(0x9E3779B1)) ^ (lo * jnp.uint32(0x85EBCA77))
-    h = h ^ (h >> jnp.uint32(16))
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> jnp.uint32(13))
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> jnp.uint32(16))
+    h = (hi * np.uint32(0x9E3779B1)) ^ (lo * np.uint32(0x85EBCA77))
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
     return h
+
+
+def _take1(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """a[i, idx[i]] without materializing an arange(N) constant."""
+    return jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+
+
+def _iota_like(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Traced int32 iota along ``axis`` shaped like tracer ``x`` (avoids an
+    eager device iota constant)."""
+    return jnp.cumsum(jnp.ones_like(x, dtype=jnp.int32), axis=axis) - 1
 
 
 def _kmer_pairs(codes: jnp.ndarray, k: int, valid_len=None):
@@ -58,21 +75,21 @@ def _kmer_pairs(codes: jnp.ndarray, k: int, valid_len=None):
     S = L - k + 1
     assert S >= 1, "sequence shorter than k"
     c = codes.astype(jnp.uint32)
-    z = jnp.zeros((N, S), dtype=jnp.uint32)
+    z = jnp.zeros_like(c[:, :S])
     f_hi, f_lo, r_hi, r_lo = z, z, z, z
     for j in range(k):
         cj = c[:, j:j + S]
         foff = 2 * (k - 1 - j)          # forward: base j at bits [foff, foff+2)
         roff = 2 * j                    # rc: complement base at bits [roff, ...)
-        comp = cj ^ jnp.uint32(3)
+        comp = cj ^ np.uint32(3)
         if foff >= 32:
-            f_hi = f_hi | (cj << jnp.uint32(foff - 32))
+            f_hi = f_hi | (cj << np.uint32(foff - 32))
         else:
-            f_lo = f_lo | (cj << jnp.uint32(foff))
+            f_lo = f_lo | (cj << np.uint32(foff))
         if roff >= 32:
-            r_hi = r_hi | (comp << jnp.uint32(roff - 32))
+            r_hi = r_hi | (comp << np.uint32(roff - 32))
         else:
-            r_lo = r_lo | (comp << jnp.uint32(roff))
+            r_lo = r_lo | (comp << np.uint32(roff))
 
     fwd_smaller = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo < r_lo))
     palindrome = (f_hi == r_hi) & (f_lo == r_lo)
@@ -83,7 +100,7 @@ def _kmer_pairs(codes: jnp.ndarray, k: int, valid_len=None):
 
     valid = ~palindrome
     if valid_len is not None:
-        pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+        pos = np.arange(S, dtype=np.int32)[None, :]
         valid = valid & (pos + k <= valid_len[:, None])
     h = jnp.where(valid, h, U32_MAX)
     return h, hi, lo, strand, valid
@@ -105,7 +122,7 @@ def sketch_reads_dyn(codes: jnp.ndarray, k, k_max: int = 31):
     N, L = codes.shape
     k = jnp.asarray(k, jnp.uint32)
     c = codes.astype(jnp.uint32)
-    z32 = jnp.zeros((N, L), dtype=jnp.uint32)
+    z32 = jnp.zeros_like(c)
     f_hi, f_lo, r_hi, r_lo = z32, z32, z32, z32
     # Forward k-mers have STATIC bit offsets when indexed from the k-mer END
     # (base j-back sits at bits 2j); reverse-complement k-mers have static
@@ -118,13 +135,13 @@ def sketch_reads_dyn(codes: jnp.ndarray, k, k_max: int = 31):
         cE = jnp.pad(c, ((0, 0), (j, 0)))[:, :L] if j else c      # c[i-j]
         cS = jnp.pad(c, ((0, 0), (0, j)))[:, j:] if j else c      # c[s+j]
         fv = jnp.where(live, cE, 0)
-        rv = jnp.where(live, cS ^ jnp.uint32(3), 0)
+        rv = jnp.where(live, cS ^ np.uint32(3), 0)
         if 2 * j >= 32:
-            f_hi = f_hi | (fv << jnp.uint32(2 * j - 32))
-            r_hi = r_hi | (rv << jnp.uint32(2 * j - 32))
+            f_hi = f_hi | (fv << np.uint32(2 * j - 32))
+            r_hi = r_hi | (rv << np.uint32(2 * j - 32))
         else:
-            f_lo = f_lo | (fv << jnp.uint32(2 * j))
-            r_lo = r_lo | (rv << jnp.uint32(2 * j))
+            f_lo = f_lo | (fv << np.uint32(2 * j))
+            r_lo = r_lo | (rv << np.uint32(2 * j))
     # rc of the k-mer ending at i lives at start index i-(k-1): roll right
     r_hi = jnp.roll(r_hi, k - 1, axis=1)
     r_lo = jnp.roll(r_lo, k - 1, axis=1)
@@ -135,12 +152,12 @@ def sketch_reads_dyn(codes: jnp.ndarray, k, k_max: int = 31):
     hi = jnp.where(fwd_smaller, f_hi, r_hi)
     lo = jnp.where(fwd_smaller, f_lo, r_lo)
     h = mix32(hi, lo)
-    pos_i = jnp.arange(L, dtype=jnp.uint32)[None, :]
+    pos_i = np.arange(L, dtype=np.uint32)[None, :]
     valid = ~palindrome & (pos_i + 1 >= k)
     h = jnp.where(valid, h, U32_MAX)
     s = jnp.argmin(h, axis=1)
-    n = jnp.arange(N)
-    return h[n, s], hi[n, s], lo[n, s], s.astype(jnp.int32), strand[n, s]
+    return (_take1(h, s), _take1(hi, s), _take1(lo, s),
+            s.astype(jnp.int32), _take1(strand, s))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -154,9 +171,8 @@ def sketch_reads(codes: jnp.ndarray, k: int):
     """
     h, hi, lo, strand, _valid = _kmer_pairs(codes, k)
     s = jnp.argmin(h, axis=1)
-    n = jnp.arange(codes.shape[0])
-    return (h[n, s], hi[n, s], lo[n, s],
-            (s + k - 1).astype(jnp.int32), strand[n, s])
+    return (_take1(h, s), _take1(hi, s), _take1(lo, s),
+            (s + k - 1).astype(jnp.int32), _take1(strand, s))
 
 
 def _sliding_reduce(x: jnp.ndarray, w: int, op) -> jnp.ndarray:
@@ -200,17 +216,17 @@ def sketch_windowed(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int, m:
     W = _sliding_reduce(hp, we, jnp.minimum)            # [C, S]
     padded = jnp.pad(W, ((0, 0), (we - 1, 0)), constant_values=U32_MAX)
     Wmax = _sliding_reduce(
-        jnp.where(padded == U32_MAX, jnp.uint32(0), padded), we, jnp.maximum)
+        jnp.where(padded == U32_MAX, np.uint32(0), padded), we, jnp.maximum)
     emitted = (Wmax == h) & (h != U32_MAX)
 
     # first-m selection in position order
     order = jnp.cumsum(emitted.astype(jnp.int32), axis=1)
     keep = emitted & (order <= m)
     slot = jnp.where(keep, order - 1, m)
-    rows = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, S))
-    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (C, S))
+    rows = _iota_like(order, 0)
+    pos = _iota_like(order, 1)
     def dump(vals, fill, dtype):
-        out = jnp.full((C, m + 1), fill, dtype)
+        out = jnp.full_like(h, fill, shape=(C, m + 1), dtype=dtype)
         return out.at[rows, slot].set(vals, mode="drop")[:, :m]
     out_h = dump(h, U32_MAX, jnp.uint32)
     out_hi = dump(khi, 0, jnp.uint32)
@@ -218,5 +234,5 @@ def sketch_windowed(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int, m:
     out_p = dump(pos, 0, jnp.int32)
     out_z = dump(strand, 0, jnp.int8)
     nvalid = jnp.minimum(order[:, -1], m)
-    valid = jnp.arange(m)[None, :] < nvalid[:, None]
+    valid = np.arange(m, dtype=np.int32)[None, :] < nvalid[:, None]
     return out_h, out_hi, out_lo, out_p + (k - 1), out_z, valid

@@ -19,9 +19,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from minicom_tpu.ops.consensus import orient
-from minicom_tpu.ops.sketch import _kmer_pairs
+from minicom_tpu.ops.sketch import _kmer_pairs, _take1
 
 
 @functools.partial(jax.jit, static_argnames=("k", "span_cols"))
@@ -36,8 +37,7 @@ def cluster_step(codes: jnp.ndarray, k: int, span_cols: int):
     N, L = codes.shape
     h, hi, lo, strand, _ = _kmer_pairs(codes, k)
     s = jnp.argmin(h, axis=1)
-    n = jnp.arange(N)
-    khi, klo, z = hi[n, s], lo[n, s], strand[n, s]
+    khi, klo, z = _take1(hi, s), _take1(lo, s), _take1(strand, s)
     pos = (s + k - 1).astype(jnp.int32)
     mpos = jnp.where(z == 1, L - pos + k - 2, pos).astype(jnp.int32)
 
@@ -48,20 +48,20 @@ def cluster_step(codes: jnp.ndarray, k: int, span_cols: int):
     khi, klo, z, mpos = khi[order], klo[order], z[order], mpos[order]
 
     new_seg = jnp.concatenate([
-        jnp.ones(1, bool),
+        jnp.ones_like(khi[:1], dtype=bool),
         (khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1])])
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
 
     # segment max mpos anchors column 0 of each cluster
     nseg_cap = N
-    seg_max = jnp.zeros(nseg_cap, jnp.int32).at[seg_id].max(mpos)
+    seg_max = jnp.zeros_like(mpos, shape=(nseg_cap,)).at[seg_id].max(mpos)
     off = seg_max[seg_id] - mpos
 
     # per-cluster column base: seg_id * 2L bounds every span (offsets < L)
     base = seg_id * (2 * L)
     oriented = orient(codes[order], z)
-    cols = (base + off)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
-    table = jnp.zeros((span_cols, 4), jnp.int32)
+    cols = (base + off)[:, None] + np.arange(L, dtype=np.int32)[None, :]
+    table = jnp.zeros_like(cols, shape=(span_cols, 4))
     table = table.at[cols, oriented.astype(jnp.int32)].add(1, mode="drop")
     consensus = jnp.argmax(table, axis=1).astype(jnp.uint8)
     coverage = table.sum(axis=1)
