@@ -48,8 +48,16 @@ def compress(reads_path: str, out_path: str, cfg: CompressorConfig | None = None
         cls = classify_mod.classify(codes, rcfg)
     del codes
 
+    # upload the (N-substituted) read store to device ONCE; all cluster /
+    # merge rounds gather from it by rid (13 B/member host->device instead of
+    # L+13 — the scarce resource through a tunneled chip)
+    import jax.numpy as jnp
+    from minicom_tpu.parallel.mesh import replicate
+    codes_dev = replicate(jnp.asarray(cls.codes_sub))
+
     with stats.stage("cluster"):
-        cset, sg = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool, rcfg)
+        cset, sg = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool, rcfg,
+                                              codes_dev)
     stats.set("clusters_initial", cset.n_clusters)
     stats.set("singletons_initial", len(sg))
 
@@ -57,7 +65,8 @@ def compress(reads_path: str, out_path: str, cfg: CompressorConfig | None = None
     rcfg = cfg.resolve(L if L else 1, n_singletons=len(sg))
 
     with stats.stage("merge"):
-        cset = merge_contigs(cset, rcfg, cls.codes_sub)
+        cset = merge_contigs(cset, rcfg, cls.codes_sub, codes_dev)
+    del codes_dev
     stats.set("clusters_merged", cset.n_clusters)
 
     with stats.stage("realign"):

@@ -12,26 +12,37 @@ function of (input, config).
 from __future__ import annotations
 
 import json
+import os
 import struct
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict
 
 from minicom_tpu.entropy import backend
 
 MAGIC = b"MTC1"
 
+# entropy coding is embarrassingly parallel across (stream, codec) pairs and
+# both lzma and the native range coder release the GIL (the reference runs
+# one bsc process per stream in the background, minicom:115-148)
+_POOL = ThreadPoolExecutor(max_workers=max(2, (os.cpu_count() or 2)))
+
 
 def write_container(path: str, meta: dict, streams: Dict[str, bytes],
                     codec: str) -> int:
     """Compress and write streams; returns total archive bytes."""
+    names = sorted(streams)
+
+    def encode_one(name: str) -> tuple[str, bytes]:
+        raw = streams[name]
+        if codec == "auto":
+            return backend.best_of(["xz", "o1rc"], raw)
+        return codec, backend.compress(codec, raw)
+
     table = []
     blobs = []
     off = 0
-    for name in sorted(streams):
+    for name, (used, blob) in zip(names, _POOL.map(encode_one, names)):
         raw = streams[name]
-        if codec == "auto":
-            used, blob = backend.best_of(["xz", "o1rc"], raw)
-        else:
-            used, blob = codec, backend.compress(codec, raw)
         table.append({"name": name, "off": off, "clen": len(blob),
                       "rlen": len(raw), "codec": used})
         blobs.append(blob)
@@ -56,8 +67,9 @@ def read_container(path: str) -> tuple[dict, Dict[str, bytes]]:
     (hlen,) = struct.unpack("<I", data[4:8])
     meta = json.loads(data[8:8 + hlen])
     base = 8 + hlen
-    streams = {}
-    for ent in meta["streams"]:
+
+    def decode_one(ent):
         blob = data[base + ent["off"]: base + ent["off"] + ent["clen"]]
-        streams[ent["name"]] = backend.decompress(ent["codec"], blob, ent["rlen"])
-    return meta, streams
+        return ent["name"], backend.decompress(ent["codec"], blob, ent["rlen"])
+
+    return meta, dict(_POOL.map(decode_one, meta["streams"]))

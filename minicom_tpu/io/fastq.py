@@ -60,6 +60,16 @@ def read_fastq(path: str) -> np.ndarray:
 
 def read_fastq_codes(path: str) -> np.ndarray:
     """FASTQ -> [N, L] base codes (0..3, N/other = 4)."""
+    from minicom_tpu import native
+    data = _read_all(path)
+    if data and not data.endswith(b"\n"):
+        data += b"\n"
+    try:
+        codes = native.fastq_parse_codes(data)
+    except ValueError as e:
+        raise ValueError(f"{path}: {e}") from None
+    if codes is not None:
+        return codes
     return ascii_to_codes(read_fastq(path))
 
 

@@ -18,7 +18,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "_native.so")
 _SRCS = [os.path.join(_DIR, "diffcodec.cpp"),
          os.path.join(_DIR, "rangecoder.cpp"),
-         os.path.join(_DIR, "realign.cpp")]
+         os.path.join(_DIR, "realign.cpp"),
+         os.path.join(_DIR, "fastq.cpp")]
 
 _lib = None
 
@@ -28,7 +29,7 @@ def _build() -> bool:
         newest_src = max(os.path.getmtime(s) for s in _SRCS)
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest_src:
             return True
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+        cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
                *_SRCS, "-o", _SO + ".tmp"]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(_SO + ".tmp", _SO)
@@ -71,6 +72,16 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.fastq_scan.restype = ctypes.c_int64
+        lib.fastq_scan.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_void_p, ctypes.c_void_p]
+        lib.fastq_extract.restype = ctypes.c_int64
+        lib.fastq_extract.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_void_p]
+        lib.codes_to_lines.restype = None
+        lib.codes_to_lines.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
     else:
         _lib = False
@@ -207,6 +218,44 @@ def o1rc_decode(data: bytes, raw_len: int) -> bytes:
 
 def has_native() -> bool:
     return bool(_load())
+
+
+def fastq_parse_codes(data: bytes):
+    """FASTQ buffer -> [N, L] base-code matrix (None if native unavailable).
+
+    Raises ValueError on the same malformed inputs the Python parser rejects
+    (truncated record structure, non-uniform length, L > 256)."""
+    lib = _load()
+    if not lib:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n_reads = ctypes.c_int64()
+    L = ctypes.c_int64()
+    rc = lib.fastq_scan(buf.ctypes.data, len(buf),
+                        ctypes.byref(n_reads), ctypes.byref(L))
+    if rc == -1:
+        raise ValueError("truncated FASTQ (line count not a multiple of 4)")
+    if rc == -2:
+        raise ValueError("reads have non-uniform length")
+    if rc == -3:
+        raise ValueError("read length exceeds the 256 bp limit")
+    out = np.empty((n_reads.value, L.value), dtype=np.uint8)
+    if n_reads.value:
+        lib.fastq_extract(buf.ctypes.data, len(buf), n_reads.value, L.value,
+                          out.ctypes.data)
+    return out
+
+
+def codes_to_lines(codes: np.ndarray):
+    """[N, L] base codes -> b'ACGT...\\n' per row (None if no native lib)."""
+    lib = _load()
+    if not lib:
+        return None
+    codes = _as_c(codes)
+    n, L = codes.shape
+    out = np.empty(n * (L + 1), dtype=np.uint8)
+    lib.codes_to_lines(codes.ctypes.data, n, L, out.ctypes.data)
+    return out.tobytes()
 
 
 def realign_probe(ref_flat: np.ndarray, ref_ptr: np.ndarray,

@@ -6,11 +6,70 @@
 // kthread_dump.c:580-596 — any match-run >= 1 emits digits; empty diff = "0";
 // decoder: decompress.c:567-590). Exposed with a plain C ABI for ctypes.
 //
-// Build: g++ -O3 -march=native -shared -fPIC diffcodec.cpp -o _native.so
+// Encode parallelizes over rows with a two-pass (lengths -> prefix offsets ->
+// write) scheme; decode indexes the newlines first, then decodes rows in
+// parallel. Output bytes are identical for any thread count.
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC ... -o _native.so
 
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+inline int64_t row_encoded_len(const uint8_t* rf, const uint8_t* rd,
+                               int64_t len, int run_min) {
+    int64_t total = 0, eq = 0;
+    for (int64_t i = 0; i < len; ++i) {
+        if (rf[i] != rd[i]) {
+            if (eq >= run_min) {
+                int64_t q = eq, d = 0;
+                do { ++d; q /= 10; } while (q);
+                total += d;
+            } else {
+                total += eq;
+            }
+            eq = 0;
+            ++total;
+        } else {
+            ++eq;
+        }
+    }
+    return total == 0 ? 1 : total;
+}
+
+inline uint8_t* encode_row(const uint8_t* rf, const uint8_t* rd, int64_t len,
+                           int run_min, uint8_t* o) {
+    uint8_t* row_start = o;
+    int64_t eq = 0;
+    for (int64_t i = 0; i < len; ++i) {
+        if (rf[i] != rd[i]) {
+            if (eq >= run_min) {
+                char buf[12];
+                int n = snprintf(buf, sizeof buf, "%lld", (long long)eq);
+                memcpy(o, buf, n);
+                o += n;
+            } else {
+                for (int64_t j = i - eq; j < i; ++j) *o++ = rd[j];
+            }
+            eq = 0;
+            *o++ = rd[i];
+        } else {
+            ++eq;
+        }
+    }
+    if (o == row_start) *o++ = '0';
+    *o++ = '\n';
+    return o;
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -19,33 +78,22 @@ extern "C" {
 // each row). out must hold at least n_rows * (len + 12) bytes.
 int64_t diff_encode(const uint8_t* ref, const uint8_t* read,
                     int64_t n_rows, int64_t len, int rule, uint8_t* out) {
-    uint8_t* o = out;
     const int run_min = rule == 0 ? 2 : 1;
-    for (int64_t r = 0; r < n_rows; ++r) {
-        const uint8_t* rf = ref + r * len;
-        const uint8_t* rd = read + r * len;
-        uint8_t* row_start = o;
-        int64_t eq = 0;
-        for (int64_t i = 0; i < len; ++i) {
-            if (rf[i] != rd[i]) {
-                if (eq >= run_min) {
-                    char buf[12];
-                    int n = snprintf(buf, sizeof buf, "%lld", (long long)eq);
-                    memcpy(o, buf, n);
-                    o += n;
-                } else {
-                    for (int64_t j = i - eq; j < i; ++j) *o++ = rd[j];
-                }
-                eq = 0;
-                *o++ = rd[i];
-            } else {
-                ++eq;
-            }
-        }
-        if (o == row_start) *o++ = '0';
-        *o++ = '\n';
-    }
-    return o - out;
+    std::vector<int64_t> off(n_rows + 1);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t r = 0; r < n_rows; ++r)
+        off[r + 1] = row_encoded_len(ref + r * len, read + r * len,
+                                     len, run_min) + 1;  // + '\n'
+    off[0] = 0;
+    for (int64_t r = 0; r < n_rows; ++r) off[r + 1] += off[r];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t r = 0; r < n_rows; ++r)
+        encode_row(ref + r * len, read + r * len, len, run_min, out + off[r]);
+    return off[n_rows];
 }
 
 // Decode n_rows diff lines ('\n'-separated) against per-row refs into read
@@ -53,28 +101,47 @@ int64_t diff_encode(const uint8_t* ref, const uint8_t* read,
 int64_t diff_decode(const uint8_t* text, int64_t text_len,
                     const uint8_t* ref, int64_t n_rows, int64_t len,
                     uint8_t* out) {
+    // index the line starts once (memchr scan), then decode rows in parallel
+    std::vector<const uint8_t*> starts(n_rows + 1);
     const uint8_t* p = text;
     const uint8_t* end = text + text_len;
     for (int64_t r = 0; r < n_rows; ++r) {
+        starts[r] = p;
+        const uint8_t* nl =
+            (const uint8_t*)memchr(p, '\n', (size_t)(end - p));
+        p = nl ? nl + 1 : end;
+    }
+    starts[n_rows] = p;
+
+    int64_t bad = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const uint8_t* q = starts[r];
+        const uint8_t* qe = starts[r + 1];
         const uint8_t* rf = ref + r * len;
         uint8_t* rd = out + r * len;
         int64_t pos = 0;
         int64_t eq = 0;
-        while (p < end && *p != '\n') {
-            uint8_t c = *p++;
+        while (q < qe && *q != '\n') {
+            uint8_t c = *q++;
             if (c >= 'A' && c <= 'Z') {
                 while (eq > 0 && pos < len) { rd[pos] = rf[pos]; ++pos; --eq; }
                 if (pos < len) rd[pos++] = c;
             } else if (c >= '0' && c <= '9') {
                 eq = eq * 10 + (c - '0');
             } else {
-                return -(r + 1);
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+                { if (!bad) bad = r + 1; }
+                break;
             }
         }
-        if (p < end) ++p;  // skip '\n'
         while (pos < len) { rd[pos] = rf[pos]; ++pos; }
     }
-    return n_rows;
+    return bad ? -bad : n_rows;
 }
 
 // Encoded length per row without materializing (used for the 0.4*L accept
@@ -83,27 +150,12 @@ void diff_encode_lengths(const uint8_t* ref, const uint8_t* read,
                          int64_t n_rows, int64_t len, int rule,
                          int32_t* out_lens) {
     const int run_min = rule == 0 ? 2 : 1;
-    for (int64_t r = 0; r < n_rows; ++r) {
-        const uint8_t* rf = ref + r * len;
-        const uint8_t* rd = read + r * len;
-        int64_t total = 0, eq = 0;
-        for (int64_t i = 0; i < len; ++i) {
-            if (rf[i] != rd[i]) {
-                if (eq >= run_min) {
-                    int64_t q = eq, d = 0;
-                    do { ++d; q /= 10; } while (q);
-                    total += d;
-                } else {
-                    total += eq;
-                }
-                eq = 0;
-                ++total;
-            } else {
-                ++eq;
-            }
-        }
-        out_lens[r] = (int32_t)(total == 0 ? 1 : total);
-    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t r = 0; r < n_rows; ++r)
+        out_lens[r] = (int32_t)row_encoded_len(ref + r * len, read + r * len,
+                                               len, run_min);
 }
 
 }  // extern "C"

@@ -17,6 +17,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 inline uint64_t pack_window(const uint8_t* codes, int len) {
@@ -90,6 +94,9 @@ int64_t realign_probe(
 
     // sorted-key tables: per dict, (key, sg_idx) sorted by key then idx
     std::vector<std::vector<std::pair<uint64_t, uint32_t>>> dicts(n_dicts);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
     for (int32_t d = 0; d < n_dicts; ++d) {
         auto& tab = dicts[d];
         tab.resize(n_sg);
@@ -99,65 +106,90 @@ int64_t realign_probe(
         std::sort(tab.begin(), tab.end());
     }
 
-    int64_t n_out = 0;
-    std::vector<uint8_t> rc(L), rc_read(L);
     const int64_t cost_budget = (int64_t)(0.4 * L);
 
-    for (int64_t c = 0; c < n_contigs; ++c) {
-        const uint8_t* ref = ref_flat + ref_ptr[c];
-        int64_t clen = ref_ptr[c + 1] - ref_ptr[c];
-        for (int64_t jj = 0; jj + L <= clen; ++jj) {
-            const uint8_t* win = ref + jj;
-            // reverse complement of the window
-            for (int64_t i = 0; i < L; ++i) rc[i] = 3 - win[L - 1 - i];
-            uint64_t win_words[8], rc_words[8];
-            pack_words(win, L, win_words);
-            pack_words(rc.data(), L, rc_words);
+    // Parallel over contigs with per-contig result buffers, concatenated in
+    // contig order afterwards: the output is byte-identical to the serial
+    // (contig, offset, strand, dict, table-rank) scan — thread count never
+    // changes the archive (unlike the reference's trylock races).
+    struct Cand { int32_t sg, off; int32_t pop; int8_t dir; };
+    std::vector<std::vector<Cand>> per_contig(n_contigs);
 
-            for (int strand = 0; strand < 2; ++strand) {
-                const uint8_t* q = strand ? rc.data() : win;
-                const uint64_t* qw = strand ? rc_words : win_words;
-                for (int32_t d = 0; d < n_dicts; ++d) {
-                    uint64_t key = pack_window(q + dict_start[d], seg_len);
-                    auto& tab = dicts[d];
-                    auto lo = std::lower_bound(
-                        tab.begin(), tab.end(),
-                        std::make_pair(key, (uint32_t)0));
-                    int32_t scanned = 0;
-                    for (auto it = lo;
-                         it != tab.end() && it->first == key &&
-                         scanned < max_search; ++it, ++scanned) {
-                        uint32_t sgi = it->second;
-                        int pop = popcount_xor(qw, sg_words.data() + (size_t)sgi * W, W);
-                        if (pop > thr) continue;
-                        // cost rule compares the ORIENTED READ against the
-                        // window (encode_byte semantics): fwd -> read vs
-                        // window; rc -> rc(read) vs window (only when the
-                        // threshold exceeds 24).
-                        if (strand == 0) {
-                            if (!encode_cost_ok(win, sg_codes + (size_t)sgi * L,
-                                                L, cost_budget))
-                                continue;
-                        } else if (!rc_skip_cost) {
-                            const uint8_t* rd = sg_codes + (size_t)sgi * L;
-                            for (int64_t i = 0; i < L; ++i)
-                                rc_read[i] = 3 - rd[L - 1 - i];
-                            if (!encode_cost_ok(win, rc_read.data(), L,
-                                                cost_budget))
-                                continue;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<uint8_t> rc(L), rc_read(L);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+        for (int64_t c = 0; c < n_contigs; ++c) {
+            auto& out = per_contig[c];
+            const uint8_t* ref = ref_flat + ref_ptr[c];
+            int64_t clen = ref_ptr[c + 1] - ref_ptr[c];
+            for (int64_t jj = 0; jj + L <= clen; ++jj) {
+                const uint8_t* win = ref + jj;
+                // reverse complement of the window
+                for (int64_t i = 0; i < L; ++i) rc[i] = 3 - win[L - 1 - i];
+                uint64_t win_words[8], rc_words[8];
+                pack_words(win, L, win_words);
+                pack_words(rc.data(), L, rc_words);
+
+                for (int strand = 0; strand < 2; ++strand) {
+                    const uint8_t* q = strand ? rc.data() : win;
+                    const uint64_t* qw = strand ? rc_words : win_words;
+                    for (int32_t d = 0; d < n_dicts; ++d) {
+                        uint64_t key = pack_window(q + dict_start[d], seg_len);
+                        auto& tab = dicts[d];
+                        auto lo = std::lower_bound(
+                            tab.begin(), tab.end(),
+                            std::make_pair(key, (uint32_t)0));
+                        int32_t scanned = 0;
+                        for (auto it = lo;
+                             it != tab.end() && it->first == key &&
+                             scanned < max_search; ++it, ++scanned) {
+                            uint32_t sgi = it->second;
+                            int pop = popcount_xor(
+                                qw, sg_words.data() + (size_t)sgi * W, W);
+                            if (pop > thr) continue;
+                            // cost rule compares the ORIENTED READ against the
+                            // window (encode_byte semantics): fwd -> read vs
+                            // window; rc -> rc(read) vs window (only when the
+                            // threshold exceeds 24).
+                            if (strand == 0) {
+                                if (!encode_cost_ok(
+                                        win, sg_codes + (size_t)sgi * L,
+                                        L, cost_budget))
+                                    continue;
+                            } else if (!rc_skip_cost) {
+                                const uint8_t* rd = sg_codes + (size_t)sgi * L;
+                                for (int64_t i = 0; i < L; ++i)
+                                    rc_read[i] = 3 - rd[L - 1 - i];
+                                if (!encode_cost_ok(win, rc_read.data(), L,
+                                                    cost_budget))
+                                    continue;
+                            }
+                            out.push_back({(int32_t)sgi, (int32_t)jj,
+                                           pop, (int8_t)strand});
                         }
-                        if (n_out < out_cap) {
-                            out_sg[n_out] = (int32_t)sgi;
-                            out_contig[n_out] = (int32_t)c;
-                            out_off[n_out] = (int32_t)jj;
-                            out_dir[n_out] = (int8_t)strand;
-                            out_pop[n_out] = pop;
-                        }
-                        ++n_out;
-                        if (n_out >= out_cap) return out_cap;
                     }
                 }
             }
+        }
+    }
+
+    int64_t n_out = 0;
+    for (int64_t c = 0; c < n_contigs; ++c) {
+        for (const Cand& cd : per_contig[c]) {
+            if (n_out < out_cap) {
+                out_sg[n_out] = cd.sg;
+                out_contig[n_out] = (int32_t)c;
+                out_off[n_out] = cd.off;
+                out_dir[n_out] = cd.dir;
+                out_pop[n_out] = cd.pop;
+            }
+            ++n_out;
+            if (n_out >= out_cap) return out_cap;
         }
     }
     return n_out;

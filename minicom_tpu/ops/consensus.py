@@ -58,6 +58,35 @@ def scatter_counts(table: jnp.ndarray, member_base: jnp.ndarray,
     return table.at[cols, codes.astype(jnp.int32)].add(1, mode="drop")
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def scatter_counts_rid(table: jnp.ndarray, codes_all: jnp.ndarray,
+                       rid: jnp.ndarray, dirs: jnp.ndarray,
+                       member_base: jnp.ndarray,
+                       offsets: jnp.ndarray) -> jnp.ndarray:
+    """scatter_counts over the DEVICE-RESIDENT read store: members are
+    (rid, dir) references into codes_all [N, L]; the gather + orientation
+    happens on device, so per-member host->device traffic is 13 bytes
+    instead of L+13 (the dominant cost through a tunneled chip)."""
+    L = codes_all.shape[1]
+    codes = orient(codes_all[rid], dirs)
+    cols = (member_base + offsets)[:, None] + np.arange(L, dtype=np.int32)[None, :]
+    return table.at[cols, codes.astype(jnp.int32)].add(1, mode="drop")
+
+
+@jax.jit
+def member_diffs_packed_rid(packed: jnp.ndarray, codes_all: jnp.ndarray,
+                            rid: jnp.ndarray, dirs: jnp.ndarray,
+                            member_base: jnp.ndarray,
+                            offsets: jnp.ndarray) -> jnp.ndarray:
+    """member_diffs_packed over the device-resident read store."""
+    L = codes_all.shape[1]
+    codes = orient(codes_all[rid], dirs).astype(jnp.uint32)
+    cols = (member_base + offsets)[:, None] + np.arange(L, dtype=np.int32)[None, :]
+    words = packed.at[cols >> 4].get(mode="fill", fill_value=0)
+    ref = (words >> ((cols & 15).astype(jnp.uint32) * 2)) & 3
+    return (ref != codes).sum(axis=1).astype(jnp.int16)
+
+
 @jax.jit
 def consensus_finalize(table: jnp.ndarray) -> jnp.ndarray:
     """[Tp, 4] counts -> 2-bit packed consensus words [Tp/16] uint32

@@ -107,6 +107,14 @@ def _kmer_pairs(codes: jnp.ndarray, k: int, valid_len=None):
 
 
 @functools.partial(jax.jit, static_argnames=("k_max",))
+def sketch_reads_dyn_gather(codes_all: jnp.ndarray, rids: jnp.ndarray, k,
+                            k_max: int = 31):
+    """sketch_reads_dyn over rows gathered from the device-resident read
+    store: upload cost is 4 bytes/read (the rid) instead of L bytes."""
+    return _sketch_dyn_body(codes_all[rids], k, k_max)
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
 def sketch_reads_dyn(codes: jnp.ndarray, k, k_max: int = 31):
     """Whole-read canonical minimizer with k as a TRACED scalar.
 
@@ -119,6 +127,10 @@ def sketch_reads_dyn(codes: jnp.ndarray, k, k_max: int = 31):
 
     Returns (h32, kmer_hi, kmer_lo, end_pos, strand), like sketch_reads.
     """
+    return _sketch_dyn_body(codes, k, k_max)
+
+
+def _sketch_dyn_body(codes: jnp.ndarray, k, k_max: int):
     N, L = codes.shape
     k = jnp.asarray(k, jnp.uint32)
     c = codes.astype(jnp.uint32)

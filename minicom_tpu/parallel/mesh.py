@@ -45,6 +45,16 @@ def active_mesh() -> Mesh | None:
     return _ACTIVE_MESH
 
 
+def replicate(arr):
+    """device_put an array replicated over the active mesh (no-op without
+    one). Used for the device-resident read store, which every shard's
+    gathers index freely."""
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return arr
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
 def shard_rows(arr):
     """device_put a [N, ...] batch row-sharded over the active mesh (no-op
     without one). N must divide by the mesh size — callers pad to pow2/fixed

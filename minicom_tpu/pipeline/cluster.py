@@ -27,11 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from minicom_tpu.config import ResolvedConfig
-from minicom_tpu.ops.consensus import (consensus_finalize, member_diffs_packed,
-                                       orient, scatter_counts)
+from minicom_tpu.ops.consensus import (consensus_finalize,
+                                       member_diffs_packed_rid,
+                                       scatter_counts_rid)
 from minicom_tpu.ops.pack import unpack_2bit_words
-from minicom_tpu.ops.sketch import sketch_reads_dyn
-from minicom_tpu.parallel.mesh import shard_rows
+from minicom_tpu.ops.sketch import sketch_reads_dyn_gather
+from minicom_tpu.parallel.mesh import replicate, shard_rows
 
 
 @dataclasses.dataclass
@@ -105,8 +106,14 @@ def _pow4(n: int) -> int:
 
 
 def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray,
-                           codes_oriented: np.ndarray, n_segments: int):
+                           rids: np.ndarray, dirs: np.ndarray,
+                           n_segments: int, codes_dev):
     """Batched consensus over CSR-grouped members (seg_id sorted ascending).
+
+    Members are (rid, dir) references into the DEVICE-RESIDENT read store
+    ``codes_dev`` ([N, L] uint8, uploaded once per pipeline) — gather and
+    orientation happen on device, so only 13 bytes/member cross the
+    host->device link per pass.
 
     Returns (ref_flat, ref_ptr, diffs[M]); consensus span of segment c =
     max(offset)+L (coverage is contiguous from column 0 because offsets
@@ -141,44 +148,48 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
         base[: t - s] = base_all[s:t]
         offs = np.zeros(step, np.int32)
         offs[: t - s] = offsets[s:t]
-        cod = np.zeros((step, L), np.uint8)
-        cod[: t - s] = codes_oriented[s:t]
-        chunk = (shard_rows(jnp.asarray(base)), shard_rows(jnp.asarray(offs)),
-                 shard_rows(jnp.asarray(cod)))
+        rid = np.zeros(step, np.int32)
+        rid[: t - s] = rids[s:t]
+        dr = np.zeros(step, np.int8)
+        dr[: t - s] = dirs[s:t]
+        chunk = (shard_rows(jnp.asarray(rid)), shard_rows(jnp.asarray(dr)),
+                 shard_rows(jnp.asarray(base)), shard_rows(jnp.asarray(offs)))
         chunks.append(chunk)
-        table = scatter_counts(table, *chunk)
+        table = scatter_counts_rid(table, codes_dev, *chunk)
     packed = consensus_finalize(table)
+    diff_parts = [member_diffs_packed_rid(packed, codes_dev, *c)
+                  for c in chunks]  # dispatch all, then block once
     diffs = np.empty(M, np.int32)
     for i, s in enumerate(range(0, M, step)):
         t = min(s + step, M)
-        d = member_diffs_packed(packed, *chunks[i])
-        diffs[s:t] = np.asarray(d)[: t - s]
+        diffs[s:t] = np.asarray(diff_parts[i])[: t - s]
     ref_flat = unpack_2bit_words(np.asarray(packed), total)
     return ref_flat, ref_ptr, diffs
 
 
-def _sketch(codes_pool: np.ndarray, k: int):
+def _sketch(pending: np.ndarray, codes_dev, k: int, L: int):
     """Whole-read minimizer + mirrored (oriented end) position, round-k aware.
 
-    The grouping key is the exact canonical k-mer (uint64, reassembled on the
-    host from the device's uint32 pair) — an identical partition to the
-    reference's invertible hash64 grouping, with zero collision risk.
-    The batch is pow2-padded and k is traced (sketch_reads_dyn) so ALL
-    k-decreasing rounds share a handful of XLA compiles.
+    Reads are gathered on device from the resident store (4 bytes/read
+    uploaded). The grouping key is the exact canonical k-mer (uint64,
+    reassembled on the host from the device's uint32 pair) — an identical
+    partition to the reference's invertible hash64 grouping, with zero
+    collision risk. The batch is pow2-padded and k is traced
+    (sketch_reads_dyn_gather) so ALL k-decreasing rounds share a handful of
+    XLA compiles.
     """
-    n, L = codes_pool.shape
+    n = len(pending)
     small, big = 1 << 13, 1 << 17  # two fixed batch shapes -> two compiles
-    parts = []
     step = small if n <= small else big
+    outs = []
     for s in range(0, n, step):
         t = min(s + step, n)
-        chunk = codes_pool[s:t]
-        if t - s < step:
-            chunk = np.concatenate(
-                [chunk, np.zeros((step - (t - s), L), np.uint8)])
-        parts.append(tuple(
-            np.asarray(x)[: t - s]
-            for x in sketch_reads_dyn(shard_rows(jnp.asarray(chunk)), k)))
+        rid = np.zeros(step, np.int32)
+        rid[: t - s] = pending[s:t]
+        outs.append(sketch_reads_dyn_gather(
+            codes_dev, shard_rows(jnp.asarray(rid)), k))
+    parts = [tuple(np.asarray(x)[: min(s + step, n) - s] for x in o)
+             for s, o in zip(range(0, n, step), outs)]
     _h32, khi, klo, pos, strand = (
         np.concatenate([p[i] for p in parts]) for i in range(5))
     key = (khi.astype(np.uint64) << np.uint64(32)) | klo.astype(np.uint64)
@@ -186,7 +197,8 @@ def _sketch(codes_pool: np.ndarray, k: int):
     return key, mpos, strand.astype(np.int8)
 
 
-def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig):
+def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig,
+                   codes_dev=None):
     """Run the k-decreasing clustering rounds.
 
     Returns (ClusterSet, sg) where sg is the singleton rid list in the
@@ -194,6 +206,8 @@ def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig)
     reads->sg, kthread_bucket.c:406-430).
     """
     L = codes_sub.shape[1]
+    if codes_dev is None:
+        codes_dev = replicate(jnp.asarray(codes_sub))
     K = cfg.k
     results: list[ClusterSet] = [ClusterSet.empty(L)]
     sg_parts: list[np.ndarray] = [np.zeros(0, np.int64)]
@@ -213,9 +227,9 @@ def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig)
         is_last = last > 0
         k_next = K - rnd  # ejected reads re-sketch with this k
 
-        h, mpos, strand = _sketch(codes_sub[pending], k_round)
+        h, mpos, strand = _sketch(pending, codes_dev, k_round, L)
         cs, singles, ejected, nreads = _one_round(
-            codes_sub, pending, h, mpos, strand, cfg.diff_threshold, L)
+            codes_dev, pending, h, mpos, strand, cfg.diff_threshold, L)
         results.append(cs)
         sg_parts.append(singles)
         cluster_reads_total += nreads
@@ -243,7 +257,7 @@ def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig)
     return ClusterSet.concat(results), np.concatenate(sg_parts)
 
 
-def _one_round(codes_sub, rids, h, mpos, strand, e, L):
+def _one_round(codes_dev, rids, h, mpos, strand, e, L):
     """One bucket round: sort -> segments -> consensus -> ejection.
 
     Returns (ClusterSet, singles, ejected, n_clustered_reads).
@@ -271,8 +285,8 @@ def _one_round(codes_sub, rids, h, mpos, strand, e, L):
     first_idx = np.r_[0, 1 + np.flatnonzero(seg2[1:] != seg2[:-1])]
     off = (mpos2[first_idx][seg2] - mpos2).astype(np.int32)
 
-    oriented = np.asarray(orient(jnp.asarray(codes_sub[rids2]), jnp.asarray(strand2)))
-    _ref, _rptr, diffs = consensus_from_members(L, seg2, off, oriented, n2)
+    _ref, _rptr, diffs = consensus_from_members(
+        L, seg2, off, rids2, strand2, n2, codes_dev)
 
     surv = diffs <= e
     ejected = rids2[~surv]
@@ -297,7 +311,8 @@ def _one_round(codes_sub, rids, h, mpos, strand, e, L):
     np.minimum.at(min_off, segF, offF)
     offF = (offF - min_off[segF]).astype(np.int32)
 
-    refF, rptrF, _ = consensus_from_members(L, segF, offF, oriented[final], nF)
+    refF, rptrF, _ = consensus_from_members(
+        L, segF, offF, rids2[final], strand2[final], nF, codes_dev)
     cptr = np.zeros(nF + 1, np.int64)
     np.cumsum(np.bincount(segF, minlength=nF), out=cptr[1:])
     cs = ClusterSet(L, rids2[final], offF, strand2[final], cptr, refF, rptrF)

@@ -26,8 +26,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from minicom_tpu.config import ResolvedConfig
-from minicom_tpu.ops.consensus import orient
 from minicom_tpu.ops.sketch import sketch_windowed
+from minicom_tpu.parallel.mesh import replicate
 from minicom_tpu.pipeline.cluster import ClusterSet, consensus_from_members
 
 _MAX_SEG = 32          # candidate entries considered per k-mer segment
@@ -164,8 +164,10 @@ def _score_pairs(cs: ClusterSet, a, b, d, cap: int):
 
 
 def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
-                  codes_sub: np.ndarray) -> ClusterSet:
+                  codes_sub: np.ndarray, codes_dev=None) -> ClusterSet:
     L = cset.readlen
+    if codes_dev is None:
+        codes_dev = replicate(jnp.asarray(codes_sub))
     pre_tot = 0
     while cset.n_clusters > 1:
         key, cid, pos, strand = sketch_contigs(
@@ -187,7 +189,7 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
             n_merges = len(pa)
             if n_merges:
                 cset = _apply_merges(cset, np.array(pa), np.array(pb),
-                                     np.array(pd), codes_sub)
+                                     np.array(pd), codes_dev)
         tot = cset.n_clusters
         if abs(pre_tot - tot) < 100 or n_merges == 0:
             break
@@ -195,7 +197,7 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
     return cset
 
 
-def _apply_merges(cs: ClusterSet, a, b, d, codes_sub) -> ClusterSet:
+def _apply_merges(cs: ClusterSet, a, b, d, codes_dev) -> ClusterSet:
     """Merge pairs (a <- b shifted by d); rebuild merged consensus."""
     L = cs.readlen
     touched = np.zeros(cs.n_clusters, bool)
@@ -227,14 +229,8 @@ def _apply_merges(cs: ClusterSet, a, b, d, codes_sub) -> ClusterSet:
                + np.where(from_a, np.repeat(shift_a, pair_sizes),
                           np.repeat(shift_b, pair_sizes)))
 
-    oriented = np.zeros((M, L), np.uint8)
-    CH = 1 << 20
-    for s in range(0, M, CH):
-        t = min(s + CH, M)
-        oriented[s:t] = np.asarray(orient(
-            jnp.asarray(codes_sub[mem_rid[s:t]]), jnp.asarray(mem_dir[s:t])))
     ref_flat, ref_ptr, _ = consensus_from_members(
-        L, seg, mem_off, oriented, P)
+        L, seg, mem_off, mem_rid, mem_dir, P, codes_dev)
     merged = ClusterSet(L, mem_rid, mem_off.astype(np.int32), mem_dir,
                         cptr, ref_flat, ref_ptr)
     return ClusterSet.concat([keep, merged])
