@@ -72,6 +72,16 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.diff_encode_win.restype = ctypes.c_int64
+        lib.diff_encode_win.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int, ctypes.c_void_p]
+        lib.diff_decode_win.restype = ctypes.c_int64
+        lib.diff_decode_win.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_void_p]
         lib.fastq_scan.restype = ctypes.c_int64
         lib.fastq_scan.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                    ctypes.c_void_p, ctypes.c_void_p]
@@ -124,6 +134,56 @@ def diff_decode(text: bytes, ref_rows: np.ndarray, n_rows: int) -> np.ndarray:
             raise ValueError(f"diff_decode failed at row {-r - 1}")
         return out
     return _py_decode(text, ref_rows)
+
+
+def diff_encode_win(ref_codes: np.ndarray, win_base: np.ndarray,
+                    read_codes: np.ndarray, dirs, rule: int):
+    """Windowed diff encode on base codes: row r's ref window starts at
+    ref_codes[win_base[r]]; read row r is RC'd when dirs[r]==1. Returns the
+    '\\n'-separated diff text, or None if the native lib is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    M, L = read_codes.shape
+    if M == 0:
+        return b""
+    ref_codes = _as_c(ref_codes)
+    read_codes = _as_c(read_codes)
+    win_base = np.ascontiguousarray(win_base, np.int64)
+    dptr = 0
+    if dirs is not None:
+        dirs = np.ascontiguousarray(dirs, np.int8)
+        dptr = dirs.ctypes.data
+    out = np.empty(M * (L + 12), dtype=np.uint8)
+    n = lib.diff_encode_win(ref_codes.ctypes.data, win_base.ctypes.data,
+                            read_codes.ctypes.data, dptr, M, L, rule,
+                            out.ctypes.data)
+    return out[:n].tobytes()
+
+
+def diff_decode_win(text: bytes, ref_codes: np.ndarray, win_base: np.ndarray,
+                    dirs, n_rows: int, L: int):
+    """Windowed diff decode -> [n_rows, L] ASCII read rows (RC applied where
+    dirs==1), or None if the native lib is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    if n_rows == 0:
+        return np.zeros((0, L), np.uint8)
+    ref_codes = _as_c(ref_codes)
+    win_base = np.ascontiguousarray(win_base, np.int64)
+    dptr = 0
+    if dirs is not None:
+        dirs = np.ascontiguousarray(dirs, np.int8)
+        dptr = dirs.ctypes.data
+    buf = np.frombuffer(text, dtype=np.uint8)
+    out = np.empty((n_rows, L), dtype=np.uint8)
+    r = lib.diff_decode_win(buf.ctypes.data, len(buf), ref_codes.ctypes.data,
+                            win_base.ctypes.data, dptr, n_rows, L,
+                            out.ctypes.data)
+    if r != n_rows:
+        raise ValueError(f"diff_decode_win failed at row {-r - 1}")
+    return out
 
 
 def diff_encode_lengths(ref_rows: np.ndarray, read_rows: np.ndarray,

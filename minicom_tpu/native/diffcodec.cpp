@@ -144,6 +144,137 @@ int64_t diff_decode(const uint8_t* text, int64_t text_len,
     return bad ? -bad : n_rows;
 }
 
+// Windowed variants working directly on BASE CODES (0..4): the ref window of
+// row r starts at ref_codes + win_base[r] in the flat consensus stream, the
+// read row is reverse-complemented in place when dirs[r] == 1, and both are
+// mapped to ASCII on the fly — replacing three full-matrix host passes
+// (gather, orient, code->ASCII) per serialize/decode call.
+
+static const char CODE2ASCII[5] = {'A', 'C', 'G', 'T', 'N'};
+
+int64_t diff_encode_win(const uint8_t* ref_codes, const int64_t* win_base,
+                        const uint8_t* read_codes, const int8_t* dirs,
+                        int64_t n_rows, int64_t len, int rule, uint8_t* out) {
+    const int run_min = rule == 0 ? 2 : 1;
+    std::vector<int64_t> off(n_rows + 1);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<uint8_t> rf(len), rd(len);
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+        for (int64_t r = 0; r < n_rows; ++r) {
+            const uint8_t* w = ref_codes + win_base[r];
+            const uint8_t* rr = read_codes + r * len;
+            for (int64_t i = 0; i < len; ++i) rf[i] = CODE2ASCII[w[i]];
+            if (dirs && dirs[r]) {
+                for (int64_t i = 0; i < len; ++i) {
+                    uint8_t c = rr[len - 1 - i];
+                    rd[i] = CODE2ASCII[c < 4 ? 3 - c : c];
+                }
+            } else {
+                for (int64_t i = 0; i < len; ++i) rd[i] = CODE2ASCII[rr[i]];
+            }
+            off[r + 1] =
+                row_encoded_len(rf.data(), rd.data(), len, run_min) + 1;
+        }
+    }
+    off[0] = 0;
+    for (int64_t r = 0; r < n_rows; ++r) off[r + 1] += off[r];
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<uint8_t> rf(len), rd(len);
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+        for (int64_t r = 0; r < n_rows; ++r) {
+            const uint8_t* w = ref_codes + win_base[r];
+            const uint8_t* rr = read_codes + r * len;
+            for (int64_t i = 0; i < len; ++i) rf[i] = CODE2ASCII[w[i]];
+            if (dirs && dirs[r]) {
+                for (int64_t i = 0; i < len; ++i) {
+                    uint8_t c = rr[len - 1 - i];
+                    rd[i] = CODE2ASCII[c < 4 ? 3 - c : c];
+                }
+            } else {
+                for (int64_t i = 0; i < len; ++i) rd[i] = CODE2ASCII[rr[i]];
+            }
+            encode_row(rf.data(), rd.data(), len, run_min, out + off[r]);
+        }
+    }
+    return off[n_rows];
+}
+
+// Windowed decode: diff lines + flat ref codes -> ASCII read rows, applying
+// the reverse complement where dirs[r] == 1 (decompress.c:573-602 semantics).
+int64_t diff_decode_win(const uint8_t* text, int64_t text_len,
+                        const uint8_t* ref_codes, const int64_t* win_base,
+                        const int8_t* dirs, int64_t n_rows, int64_t len,
+                        uint8_t* out) {
+    std::vector<const uint8_t*> starts(n_rows + 1);
+    const uint8_t* p = text;
+    const uint8_t* end = text + text_len;
+    for (int64_t r = 0; r < n_rows; ++r) {
+        starts[r] = p;
+        const uint8_t* nl =
+            (const uint8_t*)memchr(p, '\n', (size_t)(end - p));
+        p = nl ? nl + 1 : end;
+    }
+    starts[n_rows] = p;
+
+    int64_t bad = 0;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<uint8_t> rf(len), row(len);
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+        for (int64_t r = 0; r < n_rows; ++r) {
+            const uint8_t* w = ref_codes + win_base[r];
+            for (int64_t i = 0; i < len; ++i) rf[i] = CODE2ASCII[w[i]];
+            const uint8_t* q = starts[r];
+            const uint8_t* qe = starts[r + 1];
+            uint8_t* rd = row.data();
+            int64_t pos = 0, eq = 0;
+            while (q < qe && *q != '\n') {
+                uint8_t c = *q++;
+                if (c >= 'A' && c <= 'Z') {
+                    while (eq > 0 && pos < len) {
+                        rd[pos] = rf[pos]; ++pos; --eq;
+                    }
+                    if (pos < len) rd[pos++] = c;
+                } else if (c >= '0' && c <= '9') {
+                    eq = eq * 10 + (c - '0');
+                } else {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+                    { if (!bad) bad = r + 1; }
+                    break;
+                }
+            }
+            while (pos < len) { rd[pos] = rf[pos]; ++pos; }
+            uint8_t* o = out + r * len;
+            if (dirs && dirs[r]) {
+                for (int64_t i = 0; i < len; ++i) {
+                    uint8_t c = rd[len - 1 - i];
+                    o[i] = c == 'A' ? 'T' : c == 'C' ? 'G'
+                         : c == 'G' ? 'C' : c == 'T' ? 'A' : c;
+                }
+            } else {
+                memcpy(o, rd, len);
+            }
+        }
+    }
+    return bad ? -bad : n_rows;
+}
+
 // Encoded length per row without materializing (used for the 0.4*L accept
 // rule in realignment, encode_byte, kthread_hash_realign.c:283-314).
 void diff_encode_lengths(const uint8_t* ref, const uint8_t* read,

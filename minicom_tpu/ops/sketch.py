@@ -204,6 +204,19 @@ def _sliding_reduce(x: jnp.ndarray, w: int, op) -> jnp.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w", "m", "Lmax"))
+def sketch_windowed_gather(ref_flat: jnp.ndarray, starts: jnp.ndarray,
+                           lengths: jnp.ndarray, k: int, w: int, m: int,
+                           Lmax: int):
+    """sketch_windowed over rows gathered from a device-resident flat contig
+    stream: row r = ref_flat[starts[r] : starts[r] + Lmax] (masked beyond
+    lengths[r]). Upload cost per batch is 8 bytes/contig instead of
+    Lmax bytes/contig."""
+    idx = starts[:, None].astype(jnp.int32) + np.arange(Lmax, dtype=np.int32)[None, :]
+    codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
+    return _sketch_windowed_body(codes, lengths, k, w, m)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "w", "m"))
 def sketch_windowed(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int, m: int):
     """(w,k)-minimizers with tie emission, first ``m`` per sequence.
@@ -219,6 +232,11 @@ def sketch_windowed(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int, m:
     Returns (h32, kmer_hi, kmer_lo, end_pos, strand, valid), each [C, m],
     ordered by position.
     """
+    return _sketch_windowed_body(codes, lengths, k, w, m)
+
+
+def _sketch_windowed_body(codes: jnp.ndarray, lengths: jnp.ndarray,
+                          k: int, w: int, m: int):
     C, Lmax = codes.shape
     S = Lmax - k + 1
     h, khi, klo, strand, _ = _kmer_pairs(codes, k, valid_len=lengths)

@@ -96,12 +96,14 @@ def _pow2(n: int) -> int:
 
 
 def _pow4(n: int) -> int:
-    """Next power of 4 (with floor 2^14): column-table size buckets, so the
+    """Next power of 2 (with floor 2^14): column-table size buckets, so the
     set of XLA programs is small and data-independent (every compile through
-    the TPU tunnel is expensive — they must amortize across datasets)."""
+    the TPU tunnel is expensive — they must amortize across datasets, but
+    the persistent compile cache makes per-size programs a one-time cost,
+    so pow2 granularity halves the worst-case padded compute vs pow4)."""
     p = 14
     while (1 << p) < n:
-        p += 2
+        p += 1
     return 1 << p
 
 

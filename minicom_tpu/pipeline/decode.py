@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from minicom_tpu import native
 from minicom_tpu.native import diff_decode
 from minicom_tpu.ops.pack import (ascii_to_codes, codes_to_ascii, unpack_2bit,
                                   unpack_bits)
@@ -57,15 +58,18 @@ def _unpack_cluster_reads(meta: dict, streams: dict) -> np.ndarray:
     np.cumsum(ref_len, out=rptr[1:])
     ref_cat = unpack_2bit(np.frombuffer(streams["ref"], np.uint8), int(rptr[-1]))
 
-    win = (rptr[segc] + pos)[:, None] + np.arange(L)[None, :]
-    ref_rows = codes_to_ascii(ref_cat[win])
-    reads = diff_decode(streams["diff"], ref_rows, M)
-    # reverse complement dir=1 rows
-    rc_mask = dirs == 1
-    if rc_mask.any():
-        codes = ascii_to_codes(reads[rc_mask])
-        comp = np.where(codes < 4, 3 - codes, codes).astype(np.uint8)
-        reads[rc_mask] = codes_to_ascii(np.flip(comp, axis=1))
+    base = rptr[segc] + pos
+    reads = native.diff_decode_win(streams["diff"], ref_cat, base,
+                                   dirs.astype(np.int8), M, L)
+    if reads is None:  # pure-Python fallback
+        win = base[:, None] + np.arange(L)[None, :]
+        ref_rows = codes_to_ascii(ref_cat[win])
+        reads = diff_decode(streams["diff"], ref_rows, M)
+        rc_mask = dirs == 1
+        if rc_mask.any():
+            codes = ascii_to_codes(reads[rc_mask])
+            comp = np.where(codes < 4, 3 - codes, codes).astype(np.uint8)
+            reads[rc_mask] = codes_to_ascii(np.flip(comp, axis=1))
     return reads
 
 

@@ -27,6 +27,7 @@ import dataclasses
 
 import numpy as np
 
+from minicom_tpu import native
 from minicom_tpu.native import diff_encode
 from minicom_tpu.ops.pack import (codes_to_ascii, pack_2bit, pack_bits,
                                   revcomp_codes)
@@ -138,21 +139,24 @@ def serialize(inp: EncodeInput) -> tuple[dict, dict]:
                                     ref_lens) + np.arange(total_ref)]
     streams["ref"] = pack_2bit(ref_cat).tobytes()
 
-    # diff lines: oriented restored reads vs ref window (chunked gather)
+    # diff lines: oriented restored reads vs ref window (native windowed
+    # pass reads the flat ref + per-row dir directly — no [M, L] gather /
+    # orient / ASCII intermediates)
     if cs.n_members:
         base = ref_ptr_new[segc] + off
-        parts = []
-        CHUNK = 1 << 20
-        for s in range(0, len(rid), CHUNK):
-            t = min(s + CHUNK, len(rid))
-            codes = inp.codes_sub[rid[s:t]].copy()
-            codes[inp.n_mask[rid[s:t]]] = 4
-            rc = revcomp_codes(codes)
-            oriented = np.where((dirs[s:t] == 1)[:, None], rc, codes)
-            win_idx = base[s:t, None] + np.arange(L)[None, :]
-            parts.append(diff_encode(codes_to_ascii(ref_cat[win_idx]),
-                                     codes_to_ascii(oriented), 0))
-        streams["diff"] = b"".join(parts)
+        restored = inp.codes_sub[rid]
+        nm = inp.n_mask[rid]
+        if nm.any():
+            restored = restored.copy()
+            restored[nm] = 4
+        blob = native.diff_encode_win(ref_cat, base, restored, dirs, 0)
+        if blob is None:  # pure-Python fallback
+            rc = revcomp_codes(restored)
+            oriented = np.where((dirs == 1)[:, None], rc, restored)
+            win_idx = base[:, None] + np.arange(L)[None, :]
+            blob = diff_encode(codes_to_ascii(ref_cat[win_idx]),
+                               codes_to_ascii(oriented), 0)
+        streams["diff"] = blob
     else:
         streams["diff"] = b""
 

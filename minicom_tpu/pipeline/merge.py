@@ -26,7 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from minicom_tpu.config import ResolvedConfig
-from minicom_tpu.ops.sketch import sketch_windowed
+from minicom_tpu.ops.sketch import sketch_windowed_gather
 from minicom_tpu.parallel.mesh import replicate
 from minicom_tpu.pipeline.cluster import ClusterSet, consensus_from_members
 
@@ -57,36 +57,50 @@ def _select(cs: ClusterSet, idx: np.ndarray) -> ClusterSet:
 def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
     """Windowed minimizers of every contig, length-bucketed batches.
 
+    The flat contig stream is uploaded to device ONCE (pow2-padded); each
+    batch then ships only 8 bytes/contig (start, length) and the padded
+    [rows, Lmax] code matrix is built by an on-device gather
+    (sketch_windowed_gather) — contig bytes never cross the host link twice.
+
     Returns flat arrays (key64, contig_id, pos, strand) over all valid
     entries, at most m per contig, deterministic order.
     """
     lens = cs.ref_lengths()
     C = cs.n_clusters
+    if C == 0 or len(cs.ref_flat) == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint64), z, z.astype(np.int32), z.astype(np.int8)
     order = np.argsort(lens, kind="stable")
+    ref_pad = np.zeros(_pow2(max(len(cs.ref_flat), 1 << 14)), np.uint8)
+    ref_pad[: len(cs.ref_flat)] = cs.ref_flat
+    ref_dev = replicate(jnp.asarray(ref_pad))
     keys, cids, poss, dirs = [], [], [], []
     i = 0
+    outs = []
     while i < C:
-        # fixed batch shapes: Lmax in pow2 buckets, row count fixed per Lmax
-        # tier — the XLA program set is small and data-independent
+        # batch shapes in pow2 buckets (Lmax and row count) — the XLA program
+        # set stays small and data-independent, and the persistent compile
+        # cache makes each (rows, Lmax) variant a one-time cost; pow2 row
+        # padding avoids burning a full fixed-size tier on tiny batches
         Lmax = max(_pow2(max(int(lens[order[i]]), k + 1)), 128)
-        nb_pad = 4096 if Lmax <= 8192 else max(1, _SKETCH_BUDGET // Lmax)
+        max_rows = max(64, _SKETCH_BUDGET // Lmax)
         j = i
-        while j < C and j - i < nb_pad and lens[order[j]] <= Lmax:
+        while j < C and j - i < max_rows and lens[order[j]] <= Lmax:
             j += 1
         batch = order[i:j]
         nb = len(batch)
-        pad = np.zeros((nb_pad, Lmax), np.uint8)
-        blens = lens[batch]
-        rows = np.repeat(np.arange(nb), blens)
-        cols = np.arange(int(blens.sum())) - np.repeat(
-            np.cumsum(np.r_[0, blens[:-1]]), blens)
-        flat = (np.repeat(cs.ref_ptr[batch], blens)
-                + cols).astype(np.int64)
-        pad[rows, cols] = cs.ref_flat[flat]
+        nb_pad = min(_pow2(max(nb, 64)), max_rows)
+        starts = np.full(nb_pad, len(ref_pad), np.int64)  # pad rows gather 0s
+        starts[:nb] = cs.ref_ptr[batch]
         lens_pad = np.zeros(nb_pad, np.int32)
-        lens_pad[:nb] = blens
-        h, hi, lo, pos, strand, valid = (np.asarray(x) for x in sketch_windowed(
-            jnp.asarray(pad), jnp.asarray(lens_pad), k, min(w, Lmax - k + 1), m))
+        lens_pad[:nb] = lens[batch]
+        out = sketch_windowed_gather(
+            ref_dev, jnp.asarray(starts.astype(np.int32)),
+            jnp.asarray(lens_pad), k, min(w, Lmax - k + 1), m, Lmax)
+        outs.append((batch, nb, out))
+        i = j
+    for batch, nb, out in outs:  # all dispatched; now block + postprocess
+        h, hi, lo, pos, strand, valid = (np.asarray(x) for x in out)
         v = valid[:nb]
         key = (hi[:nb].astype(np.uint64) << np.uint64(32)) | lo[:nb].astype(np.uint64)
         cid = np.broadcast_to(batch[:, None], v.shape)
@@ -94,10 +108,6 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
         cids.append(cid[v])
         poss.append(pos[:nb][v])
         dirs.append(strand[:nb][v])
-        i = j
-    if not keys:
-        z = np.zeros(0, np.int64)
-        return np.zeros(0, np.uint64), z, z.astype(np.int32), z.astype(np.int8)
     return (np.concatenate(keys), np.concatenate(cids).astype(np.int64),
             np.concatenate(poss).astype(np.int32),
             np.concatenate(dirs).astype(np.int8))
@@ -169,10 +179,12 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
     if codes_dev is None:
         codes_dev = replicate(jnp.asarray(codes_sub))
     pre_tot = 0
+    sk = None  # cached (key, cid, pos, strand) of every contig's minimizers
     while cset.n_clusters > 1:
-        key, cid, pos, strand = sketch_contigs(
-            cset, cfg.k, cfg.contig_window, cfg.first_minimizers)
-        a, b, d = _candidate_pairs(key, cid, pos, strand)
+        if sk is None:
+            sk = sketch_contigs(
+                cset, cfg.k, cfg.contig_window, cfg.first_minimizers)
+        a, b, d = _candidate_pairs(*sk)
         n_merges = 0
         if len(a):
             scores = _score_pairs(cset, a, b, d, cfg.cb_threshold)
@@ -188,8 +200,26 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
                     pa.append(a[i]); pb.append(b[i]); pd.append(d[i])
             n_merges = len(pa)
             if n_merges:
-                cset = _apply_merges(cset, np.array(pa), np.array(pb),
-                                     np.array(pd), codes_dev)
+                cset, kept_old, n_pairs = _apply_merges(
+                    cset, np.array(pa), np.array(pb), np.array(pd), codes_dev)
+                # Incremental re-sketch: untouched contigs keep their cached
+                # minimizers (per-contig sketches are batch-independent);
+                # only the n_pairs merged contigs — appended after the
+                # survivors — are sketched fresh. The reference instead
+                # re-indexes everything each generation (kthread_cb.c:580).
+                n_keep = len(kept_old)
+                remap = np.full(len(matched), -1, np.int64)
+                remap[kept_old] = np.arange(n_keep)
+                key, cid, pos, strand = sk
+                live = remap[cid] >= 0
+                merged_ids = np.arange(n_keep, n_keep + n_pairs)
+                fk, fc, fp, fs = sketch_contigs(
+                    _select(cset, merged_ids), cfg.k, cfg.contig_window,
+                    cfg.first_minimizers)
+                sk = (np.concatenate([key[live], fk]),
+                      np.concatenate([remap[cid[live]], fc + n_keep]),
+                      np.concatenate([pos[live], fp]),
+                      np.concatenate([strand[live], fs]))
         tot = cset.n_clusters
         if abs(pre_tot - tot) < 100 or n_merges == 0:
             break
@@ -197,12 +227,16 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
     return cset
 
 
-def _apply_merges(cs: ClusterSet, a, b, d, codes_dev) -> ClusterSet:
-    """Merge pairs (a <- b shifted by d); rebuild merged consensus."""
+def _apply_merges(cs: ClusterSet, a, b, d, codes_dev):
+    """Merge pairs (a <- b shifted by d); rebuild merged consensus.
+
+    Returns (new ClusterSet = [untouched contigs..., merged pairs...],
+    indices of the untouched contigs in the OLD numbering, n_pairs)."""
     L = cs.readlen
     touched = np.zeros(cs.n_clusters, bool)
     touched[a] = touched[b] = True
-    keep = _select(cs, np.flatnonzero(~touched))
+    kept_old = np.flatnonzero(~touched)
+    keep = _select(cs, kept_old)
 
     sizes = cs.cluster_sizes()
     # B offsets shift by d when d >= 0; A shifts by -d when d < 0
@@ -233,4 +267,4 @@ def _apply_merges(cs: ClusterSet, a, b, d, codes_dev) -> ClusterSet:
         L, seg, mem_off, mem_rid, mem_dir, P, codes_dev)
     merged = ClusterSet(L, mem_rid, mem_off.astype(np.int32), mem_dir,
                         cptr, ref_flat, ref_ptr)
-    return ClusterSet.concat([keep, merged])
+    return ClusterSet.concat([keep, merged]), kept_old, P
