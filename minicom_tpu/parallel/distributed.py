@@ -1,0 +1,106 @@
+"""Multi-process (multi-host) compression support.
+
+The reference is strictly single-node: its only parallel axis is a pthread
+pool over 2^14 lock-sharded minimizer buckets plus work stealing
+(kthread_reads.c:208-218, kthread_cb.c:436-454 — SURVEY.md C22). This module
+is the DCN/ICI-era equivalent: `jax.distributed` process groups where the
+heavy stages split the SAME canonical work across processes and exchange
+results with ordered all-gathers, so the archive is byte-identical for ANY
+process count (tests/test_distributed.py) — where the reference bakes its
+thread count into the format and its cluster composition into the schedule.
+
+Sharding model (v1):
+* every process parses the input and runs the identical deterministic host
+  orchestration (cheap); the O(N*L) device/native stages are partitioned into
+  CONTIGUOUS, canonically-ordered work ranges:
+    - read sketching: contiguous slices of the pending pool,
+    - segmented consensus: contiguous cluster ranges (disjoint column spaces,
+      so no cross-process reduction is needed),
+    - contig sketching: contiguous length-bucketed batch ranges,
+    - realignment probes: contiguous contig ranges (the substring-key
+      dictionaries are built replicated — the all-gathered-dictionary pattern),
+* each exchange is an ordered ragged all-gather (rank-order concatenation
+  reproduces the serial scan order exactly).
+
+Collectives move only 32-bit-or-smaller payloads (device code is strictly
+32-bit — see ops/sketch.py); wider host dtypes travel as byte views.
+
+Usage (one process per host):
+    from minicom_tpu.parallel import distributed
+    distributed.initialize("host0:9876", num_processes=4, process_id=rank)
+    compressor.compress(...)   # stages auto-shard; rank 0's archive == all
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_PID = 0
+_NPROC = 1
+
+
+def initialize(coordinator_address: str, num_processes: int,
+               process_id: int) -> None:
+    """Join the jax.distributed process group and enable stage sharding."""
+    import jax
+    jax.distributed.initialize(coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    set_process_grid(process_id, num_processes)
+
+
+def set_process_grid(pid: int, nproc: int) -> None:
+    global _PID, _NPROC
+    assert 0 <= pid < nproc
+    _PID, _NPROC = pid, nproc
+
+
+def process_grid() -> tuple[int, int]:
+    return _PID, _NPROC
+
+
+def partition(weights: np.ndarray) -> list[tuple[int, int]]:
+    """Split items into NPROC contiguous ranges of ~equal total weight.
+
+    Deterministic: ranges depend only on the weights and the process count.
+    Returns [(lo, hi)] per rank (some possibly empty).
+    """
+    n = len(weights)
+    csum = np.cumsum(np.asarray(weights, np.float64))
+    total = csum[-1] if n else 0.0
+    bounds = [0]
+    for p in range(1, _NPROC):
+        bounds.append(int(np.searchsorted(csum, total * p / _NPROC)))
+    bounds.append(n)
+    for i in range(1, len(bounds)):  # enforce monotonicity on degenerate data
+        bounds[i] = max(bounds[i], bounds[i - 1])
+    return [(bounds[p], bounds[p + 1]) for p in range(_NPROC)]
+
+
+def my_partition(weights: np.ndarray) -> tuple[int, int]:
+    return partition(weights)[_PID]
+
+
+def allgather_ragged(arr: np.ndarray) -> np.ndarray:
+    """Ordered all-gather of a 1-D array with per-process lengths; the result
+    is the rank-order concatenation (identical on every process). No-op with
+    a single process. Payload crosses the wire as uint8."""
+    if _NPROC == 1:
+        return arr
+    from jax.experimental import multihost_utils as mh
+    arr = np.ascontiguousarray(arr)
+    dtype = arr.dtype
+    b = arr.view(np.uint8).reshape(-1)
+    lens = np.asarray(mh.process_allgather(
+        np.array([len(b)], np.int32))).reshape(-1)
+    mx = max(int(lens.max()), 1)
+    pad = np.zeros(mx, np.uint8)
+    pad[: len(b)] = b
+    g = np.asarray(mh.process_allgather(pad))
+    parts = [g[p, : lens[p]] for p in range(_NPROC)]
+    return np.concatenate(parts).view(dtype)
+
+
+def allgather_ragged_many(arrays: list[np.ndarray]) -> list[np.ndarray]:
+    """allgather_ragged for several same-length-partitioned arrays."""
+    return [allgather_ragged(a) for a in arrays]

@@ -32,6 +32,7 @@ from minicom_tpu.ops.consensus import (consensus_finalize,
                                        scatter_counts_rid)
 from minicom_tpu.ops.pack import unpack_2bit_words
 from minicom_tpu.ops.sketch import sketch_reads_dyn_gather
+from minicom_tpu.parallel import distributed as dist
 from minicom_tpu.parallel.mesh import replicate, shard_rows
 
 
@@ -136,10 +137,29 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
     np.cumsum(spans, out=ref_ptr[1:])
     total = int(ref_ptr[-1])
 
-    M = len(seg_id)
-    Tp = _pow4(max(total, 1))
-    base_all = ref_ptr[seg_id].astype(np.int32)
+    # multi-process: contiguous cluster ranges have DISJOINT column spaces,
+    # so each rank builds its range's consensus independently and the chunks
+    # are reassembled with an ordered all-gather — no cross-rank reduction
+    seg_members = np.diff(seg_bounds)
+    s0, s1 = dist.my_partition(seg_members)
+    m0, m1 = int(seg_bounds[s0]), int(seg_bounds[s1])
+    col0, col1 = int(ref_ptr[s0]), int(ref_ptr[s1])
+    my_ref, my_diffs = _consensus_chunk(
+        L, base_all_lo=(ref_ptr[seg_id[m0:m1]] - col0).astype(np.int32),
+        offsets=offsets[m0:m1], rids=rids[m0:m1], dirs=dirs[m0:m1],
+        span=col1 - col0, codes_dev=codes_dev)
+    ref_flat = dist.allgather_ragged(my_ref)
+    diffs = dist.allgather_ragged(my_diffs)
+    return ref_flat, ref_ptr, diffs
 
+
+def _consensus_chunk(L, base_all_lo, offsets, rids, dirs, span, codes_dev):
+    """Consensus + member diffs for one contiguous column span (one rank's
+    share). Fixed batch shapes; see consensus_from_members."""
+    M = len(base_all_lo)
+    if M == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int32)
+    Tp = _pow4(max(span, 1))
     small, big = 1 << 13, 1 << 17
     step = small if M <= small else big
     table = jnp.zeros((Tp, 4), jnp.int32)
@@ -147,7 +167,7 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
     for s in range(0, M, step):
         t = min(s + step, M)
         base = np.full(step, Tp, np.int32)
-        base[: t - s] = base_all[s:t]
+        base[: t - s] = base_all_lo[s:t]
         offs = np.zeros(step, np.int32)
         offs[: t - s] = offsets[s:t]
         rid = np.zeros(step, np.int32)
@@ -165,8 +185,8 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
     for i, s in enumerate(range(0, M, step)):
         t = min(s + step, M)
         diffs[s:t] = np.asarray(diff_parts[i])[: t - s]
-    ref_flat = unpack_2bit_words(np.asarray(packed), total)
-    return ref_flat, ref_ptr, diffs
+    ref_flat = unpack_2bit_words(np.asarray(packed), span)
+    return ref_flat, diffs
 
 
 def _sketch(pending: np.ndarray, codes_dev, k: int, L: int):
@@ -180,20 +200,27 @@ def _sketch(pending: np.ndarray, codes_dev, k: int, L: int):
     (sketch_reads_dyn_gather) so ALL k-decreasing rounds share a handful of
     XLA compiles.
     """
-    n = len(pending)
+    # multi-process: contiguous slice of the pool per rank, ordered gather
+    lo, hi = dist.my_partition(np.ones(len(pending), np.int32))
+    mine = pending[lo:hi]
+    n = len(mine)
     small, big = 1 << 13, 1 << 17  # two fixed batch shapes -> two compiles
     step = small if n <= small else big
     outs = []
     for s in range(0, n, step):
         t = min(s + step, n)
         rid = np.zeros(step, np.int32)
-        rid[: t - s] = pending[s:t]
+        rid[: t - s] = mine[s:t]
         outs.append(sketch_reads_dyn_gather(
             codes_dev, shard_rows(jnp.asarray(rid)), k))
     parts = [tuple(np.asarray(x)[: min(s + step, n) - s] for x in o)
              for s, o in zip(range(0, n, step), outs)]
-    _h32, khi, klo, pos, strand = (
-        np.concatenate([p[i] for p in parts]) for i in range(5))
+    z32, z8 = np.zeros(0, np.uint32), np.zeros(0, np.int8)
+    khi, klo, pos, strand = (
+        np.concatenate([p[i] for p in parts]) if parts else z
+        for i, z in ((1, z32), (2, z32), (3, z32.astype(np.int32)), (4, z8)))
+    khi, klo, pos, strand = (dist.allgather_ragged(x)
+                             for x in (khi, klo, pos, strand))
     key = (khi.astype(np.uint64) << np.uint64(32)) | klo.astype(np.uint64)
     mpos = np.where(strand == 1, L - pos + k - 2, pos).astype(np.int32)
     return key, mpos, strand.astype(np.int8)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from minicom_tpu.config import ResolvedConfig
 from minicom_tpu.ops.sketch import sketch_windowed_gather
+from minicom_tpu.parallel import distributed as dist
 from minicom_tpu.parallel.mesh import replicate
 from minicom_tpu.pipeline.cluster import ClusterSet, consensus_from_members
 
@@ -71,12 +72,11 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
         z = np.zeros(0, np.int64)
         return np.zeros(0, np.uint64), z, z.astype(np.int32), z.astype(np.int8)
     order = np.argsort(lens, kind="stable")
-    ref_pad = np.zeros(_pow2(max(len(cs.ref_flat), 1 << 14)), np.uint8)
-    ref_pad[: len(cs.ref_flat)] = cs.ref_flat
-    ref_dev = replicate(jnp.asarray(ref_pad))
-    keys, cids, poss, dirs = [], [], [], []
+
+    # plan the length-bucketed batches first (host, cheap), then process a
+    # contiguous batch range per rank and all-gather in rank (= batch) order
+    plan = []
     i = 0
-    outs = []
     while i < C:
         # batch shapes in pow2 buckets (Lmax and row count) — the XLA program
         # set stays small and data-independent, and the persistent compile
@@ -87,9 +87,18 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
         j = i
         while j < C and j - i < max_rows and lens[order[j]] <= Lmax:
             j += 1
+        nb_pad = min(_pow2(max(j - i, 64)), max_rows)
+        plan.append((i, j, Lmax, nb_pad))
+        i = j
+    b0, b1 = dist.my_partition(np.array([p[3] * p[2] for p in plan]))
+
+    ref_pad = np.zeros(_pow2(max(len(cs.ref_flat), 1 << 14)), np.uint8)
+    ref_pad[: len(cs.ref_flat)] = cs.ref_flat
+    ref_dev = replicate(jnp.asarray(ref_pad))
+    outs = []
+    for i, j, Lmax, nb_pad in plan[b0:b1]:
         batch = order[i:j]
         nb = len(batch)
-        nb_pad = min(_pow2(max(nb, 64)), max_rows)
         starts = np.full(nb_pad, len(ref_pad), np.int64)  # pad rows gather 0s
         starts[:nb] = cs.ref_ptr[batch]
         lens_pad = np.zeros(nb_pad, np.int32)
@@ -98,7 +107,9 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
             ref_dev, jnp.asarray(starts.astype(np.int32)),
             jnp.asarray(lens_pad), k, min(w, Lmax - k + 1), m, Lmax)
         outs.append((batch, nb, out))
-        i = j
+    keys, cids, poss, dirs = [np.zeros(0, d) for d in
+                              (np.uint64, np.int64, np.int32, np.int8)]
+    keys, cids, poss, dirs = [keys], [cids], [poss], [dirs]
     for batch, nb, out in outs:  # all dispatched; now block + postprocess
         h, hi, lo, pos, strand, valid = (np.asarray(x) for x in out)
         v = valid[:nb]
@@ -106,11 +117,12 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
         cid = np.broadcast_to(batch[:, None], v.shape)
         keys.append(key[v])
         cids.append(cid[v])
-        poss.append(pos[:nb][v])
+        poss.append(pos[:nb][v].astype(np.int32))
         dirs.append(strand[:nb][v])
-    return (np.concatenate(keys), np.concatenate(cids).astype(np.int64),
-            np.concatenate(poss).astype(np.int32),
-            np.concatenate(dirs).astype(np.int8))
+    return (dist.allgather_ragged(np.concatenate(keys)),
+            dist.allgather_ragged(np.concatenate(cids)),
+            dist.allgather_ragged(np.concatenate(poss)),
+            dist.allgather_ragged(np.concatenate(dirs)))
 
 
 def _candidate_pairs(key, cid, pos, strand):

@@ -120,12 +120,14 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
             break
 
         # --- probe every (contig, offset) window fwd + rc -----------------
+        # multi-process: contiguous contig range per rank, ordered gather of
+        # the candidate arrays (rank order == the serial contig scan order);
+        # the substring-key dictionaries are built replicated on every rank
+        # (the all-gathered-dictionary pattern, SURVEY.md §5)
         from minicom_tpu import native
+        from minicom_tpu.parallel import distributed as dist
         sgc = codes_sub[sg]
-        probe = native.realign_probe(
-            cset.ref_flat, cset.ref_ptr, sgc,
-            np.array([s for s, _ in ranges], np.int32),
-            cfg.dict_seg_len, thr, cfg.max_search, rc_skip_cost=thr <= 24)
+        probe = _probe_native_sharded(dist, native, cset, sgc, ranges, cfg, thr)
         if probe is not None:
             cand_sg, cand_cl, cand_off, cand_dir, cand_pop = (
                 x.astype(np.int64) if x.dtype != np.int8 else x
@@ -181,6 +183,32 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
     ea = np.concatenate(extra_a) if len(extra_a) > 1 else extra_a[0]
     et = np.concatenate(extra_t) if len(extra_t) > 1 else extra_t[0]
     return cset, sg, ea, et
+
+
+def _probe_native_sharded(dist, native, cset, sgc, ranges, cfg, thr):
+    """Native probe over this rank's contiguous contig range; candidates are
+    all-gathered in rank order, reproducing the serial scan order exactly.
+    Returns None when the native library is unavailable (numpy fallback runs
+    unsharded but identically on every rank)."""
+    L = cset.readlen
+    n_off = np.maximum(cset.ref_lengths() - L + 1, 0)
+    c0, c1 = dist.my_partition(n_off)
+    ref_ptr_loc = (cset.ref_ptr[c0:c1 + 1] - cset.ref_ptr[c0]).astype(np.int64)
+    ref_flat_loc = cset.ref_flat[cset.ref_ptr[c0]:cset.ref_ptr[c1]]
+    probe = native.realign_probe(
+        ref_flat_loc, ref_ptr_loc, sgc,
+        np.array([s for s, _ in ranges], np.int32),
+        cfg.dict_seg_len, thr, cfg.max_search, rc_skip_cost=thr <= 24)
+    if probe is None:
+        return None
+    cand_sg, cand_cl, cand_off, cand_dir, cand_pop = probe
+    cand_cl = cand_cl + np.int32(c0)
+    _, nproc = dist.process_grid()
+    if nproc > 1:
+        cand_sg, cand_cl, cand_off, cand_dir, cand_pop = (
+            dist.allgather_ragged(x)
+            for x in (cand_sg, cand_cl, cand_off, cand_dir, cand_pop))
+    return cand_sg, cand_cl, cand_off, cand_dir, cand_pop
 
 
 def _dedupe(cand_sg, cand_cl, cand_off, cand_dir, cand_pop):
