@@ -126,6 +126,29 @@ def segmented_consensus_packed(member_base: jnp.ndarray, offsets: jnp.ndarray,
     return packed, diffs.astype(jnp.int16)
 
 
+@functools.partial(jax.jit, static_argnames=("total_cols",))
+def consensus_fused_rid(codes_all: jnp.ndarray, rid: jnp.ndarray,
+                        dirs: jnp.ndarray, member_base: jnp.ndarray,
+                        offsets: jnp.ndarray, total_cols: int):
+    """One-dispatch consensus for a single member block: gather + orient +
+    scatter-add + packed argmax + member diffs in ONE XLA program (three
+    round trips through the tunneled chip become one)."""
+    L = codes_all.shape[1]
+    codes = orient(codes_all[rid], dirs).astype(jnp.int32)
+    cols = (member_base + offsets)[:, None] + np.arange(L, dtype=np.int32)[None, :]
+    table = jnp.zeros_like(cols, shape=(total_cols, 4))
+    table = table.at[cols, codes].add(1, mode="drop")
+    consensus = jnp.argmax(table, axis=1).astype(jnp.uint32)
+    cw = consensus.reshape(-1, 16)
+    packed = jnp.zeros_like(cw[:, 0])
+    for i in range(16):
+        packed = packed | (cw[:, i] << np.uint32(2 * i))
+    words = packed.at[cols >> 4].get(mode="fill", fill_value=0)
+    ref = (words >> ((cols & 15).astype(jnp.uint32) * 2)) & 3
+    diffs = (ref != codes.astype(jnp.uint32)).sum(axis=1).astype(jnp.int16)
+    return packed, diffs
+
+
 @functools.partial(jax.jit, static_argnames=())
 def member_diffs(ref_flat: jnp.ndarray, member_base: jnp.ndarray,
                  offsets: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,194 @@
+"""Pallas TPU kernel for the windowed (w,k)-minimizer sketch.
+
+The jnp implementation (`ops/sketch.py::_sketch_windowed_body`) materializes
+~10 full [C, S] intermediates (k-mer pairs, sliding-min sparse tables, tie
+masks) in HBM between XLA fusions. This kernel keeps the whole per-row-block
+computation resident in VMEM: 2-bit k-mer pair assembly (k static shifted
+ORs), canonical-strand selection, O(log w) sliding-window min/max sparse
+tables, tie-emission mask, and first-m selection — one HBM read of the code
+block, six [block, m] writes out.
+
+Semantics are identical to sketch_windowed (mm_sketch_lh_ori with tie
+emission, sketch.c:116-165): position i is emitted iff its hash equals the
+minimum of at least one window covering it; the first m emissions per row are
+returned in position order.
+
+The first-m selection avoids in-kernel scatter: for slot i the (unique) column
+with emission-rank i+1 is extracted by a masked max — m is small (the
+reference's first_mininum default is 6, minicommain.c:63).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U32_MAX = np.uint32(0xFFFFFFFF)
+
+
+def _mix32(hi, lo):
+    h = (hi * np.uint32(0x9E3779B1)) ^ (lo * np.uint32(0x85EBCA77))
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    return h ^ (h >> np.uint32(16))
+
+
+def _slide(x, w, op, fill):
+    """op-reduction over every length-w window starting at each column
+    (windows clipped at the row end are padded with ``fill``)."""
+    S = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (0, w - 1)), constant_values=fill)
+    f = xp
+    span = 1
+    n = xp.shape[1]
+    while span * 2 <= w:
+        f = op(f[:, : n - span], f[:, span:])
+        n -= span
+        span *= 2
+    rem = w - span
+    if rem:
+        return op(f[:, :S], f[:, rem: rem + S])
+    return f[:, :S]
+
+
+def _sketch_kernel(codes_ref, len_ref, h_ref, hi_ref, lo_ref, pos_ref,
+                   str_ref, nv_ref, *, k: int, w: int, m: int):
+    codes = codes_ref[:].astype(jnp.uint32)
+    B, Lmax = codes.shape
+    S = Lmax - k + 1
+    lengths = len_ref[:]                                    # [B, 1] int32
+
+    z = jnp.zeros((B, S), jnp.uint32)
+    f_hi, f_lo, r_hi, r_lo = z, z, z, z
+    for j in range(k):
+        cj = codes[:, j:j + S]
+        comp = cj ^ np.uint32(3)
+        foff = 2 * (k - 1 - j)
+        roff = 2 * j
+        if foff >= 32:
+            f_hi = f_hi | (cj << np.uint32(foff - 32))
+        else:
+            f_lo = f_lo | (cj << np.uint32(foff))
+        if roff >= 32:
+            r_hi = r_hi | (comp << np.uint32(roff - 32))
+        else:
+            r_lo = r_lo | (comp << np.uint32(roff))
+
+    # Mosaic has no unsigned min/max/compare — run every ORDERING in int32
+    # via the order-preserving sign-flip bitcast (u ^ 0x80000000)
+    s32 = lambda u: jax.lax.bitcast_convert_type(
+        u ^ np.uint32(0x80000000), jnp.int32)
+    I32_MAX = np.int32(0x7FFFFFFF)
+    I32_MIN = np.int32(-0x80000000)
+
+    fwd_smaller = (s32(f_hi) < s32(r_hi)) | (
+        (f_hi == r_hi) & (s32(f_lo) < s32(r_lo)))
+    palindrome = (f_hi == r_hi) & (f_lo == r_lo)
+    strand = jnp.where(fwd_smaller, 0, 1).astype(jnp.int32)
+    khi = jnp.where(fwd_smaller, f_hi, r_hi)
+    klo = jnp.where(fwd_smaller, f_lo, r_lo)
+    h = _mix32(khi, klo)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    valid = (~palindrome) & (pos + k <= lengths)
+    h = jnp.where(valid, h, U32_MAX)
+    hs = s32(h)                                             # U32_MAX -> I32_MAX
+
+    we = min(w, S)
+    W = _slide(hs, we, jnp.minimum, I32_MAX)                # min over window
+    Wz = jnp.where(W == I32_MAX, I32_MIN, W)
+    # window-min maximum over all windows COVERING column i = sliding max of
+    # the left-extended window-min array
+    Wp = jnp.pad(Wz, ((0, 0), (we - 1, 0)), constant_values=I32_MIN)
+    Wmax = _slide(Wp, we, jnp.maximum, I32_MIN)[:, :S]
+    emitted = (Wmax == hs) & (hs != I32_MAX)
+
+    # Hillis-Steele prefix sum of the emission mask (static log steps)
+    order = emitted.astype(jnp.int32)
+    d = 1
+    while d < S:
+        order = order + jnp.pad(order, ((0, 0), (d, 0)))[:, :S]
+        d *= 2
+
+    nv_ref[:] = jnp.minimum(order[:, -1:], m)
+    # selection by masked SUM (<= one hit per row; Mosaic has no unsigned
+    # reductions, so uint32 payloads ride bit-exactly through int32)
+    h_i, khi_i, klo_i = (jax.lax.bitcast_convert_type(v, jnp.int32)
+                         for v in (h, khi, klo))
+    for i in range(m):
+        sel = emitted & (order == i + 1)                    # <= one per row
+        pick = lambda v: jnp.sum(jnp.where(sel, v, 0), axis=1, keepdims=True)
+        hit = pick(sel.astype(jnp.int32)) > 0
+        h_ref[:, i:i + 1] = jax.lax.bitcast_convert_type(
+            jnp.where(hit, pick(h_i), jax.lax.bitcast_convert_type(
+                jnp.full_like(hit, U32_MAX, dtype=jnp.uint32), jnp.int32)),
+            jnp.uint32)
+        hi_ref[:, i:i + 1] = jax.lax.bitcast_convert_type(pick(khi_i),
+                                                          jnp.uint32)
+        lo_ref[:, i:i + 1] = jax.lax.bitcast_convert_type(pick(klo_i),
+                                                          jnp.uint32)
+        pos_ref[:, i:i + 1] = pick(pos) + (k - 1)
+        str_ref[:, i:i + 1] = pick(strand)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "m", "block", "interpret"))
+def sketch_windowed_pallas(codes: jnp.ndarray, lengths: jnp.ndarray,
+                           k: int, w: int, m: int, block: int = 8,
+                           interpret: bool = False):
+    """Drop-in for ops.sketch.sketch_windowed (same outputs, same semantics).
+
+    codes [C, Lmax] uint8 with C % block == 0; lengths [C] int32.
+    """
+    C, Lmax = codes.shape
+    assert C % block == 0 and Lmax - k + 1 >= 1
+    kern = functools.partial(_sketch_kernel, k=k, w=w, m=m)
+    grid = (C // block,)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((block, Lmax), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((block, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM) for _ in range(5)]
+        + [pl.BlockSpec((block, 1), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, m), jnp.uint32),   # h32
+            jax.ShapeDtypeStruct((C, m), jnp.uint32),   # kmer hi
+            jax.ShapeDtypeStruct((C, m), jnp.uint32),   # kmer lo
+            jax.ShapeDtypeStruct((C, m), jnp.int32),    # end pos
+            jax.ShapeDtypeStruct((C, m), jnp.int32),    # strand
+            jax.ShapeDtypeStruct((C, 1), jnp.int32),    # n valid
+        ],
+    )(codes, lengths.reshape(C, 1).astype(jnp.int32))
+    h, hi, lo, pos, strand, nv = outs
+    valid = np.arange(m, dtype=np.int32)[None, :] < nv
+    return h, hi, lo, pos, strand.astype(jnp.int8), valid
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "m", "Lmax", "interpret"))
+def sketch_windowed_gather_pallas(ref_flat: jnp.ndarray, starts: jnp.ndarray,
+                                  lengths: jnp.ndarray, k: int, w: int,
+                                  m: int, Lmax: int, interpret: bool = False):
+    """Gather rows from the device-resident flat contig stream (XLA), then
+    run the Pallas sketch kernel — the TPU path of merge.sketch_contigs."""
+    idx = starts[:, None].astype(jnp.int32) \
+        + np.arange(Lmax, dtype=np.int32)[None, :]
+    codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
+    return sketch_windowed_pallas(codes, lengths, k, w, m,
+                                  interpret=interpret)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from minicom_tpu.config import ResolvedConfig
-from minicom_tpu.ops.consensus import (consensus_finalize,
+from minicom_tpu.ops.consensus import (consensus_finalize, consensus_fused_rid,
                                        member_diffs_packed_rid,
                                        scatter_counts_rid)
 from minicom_tpu.ops.pack import unpack_2bit_words
@@ -162,6 +162,20 @@ def _consensus_chunk(L, base_all_lo, offsets, rids, dirs, span, codes_dev):
     Tp = _pow4(max(span, 1))
     small, big = 1 << 13, 1 << 17
     step = small if M <= small else big
+    if M <= step:  # single block: one fused dispatch instead of three
+        base = np.full(step, Tp, np.int32)
+        base[:M] = base_all_lo
+        offs = np.zeros(step, np.int32)
+        offs[:M] = offsets
+        rid = np.zeros(step, np.int32)
+        rid[:M] = rids
+        dr = np.zeros(step, np.int8)
+        dr[:M] = dirs
+        packed, diffs = consensus_fused_rid(
+            codes_dev, shard_rows(jnp.asarray(rid)), shard_rows(jnp.asarray(dr)),
+            shard_rows(jnp.asarray(base)), shard_rows(jnp.asarray(offs)), Tp)
+        return (unpack_2bit_words(np.asarray(packed), span),
+                np.asarray(diffs)[:M].astype(np.int32))
     table = jnp.zeros((Tp, 4), jnp.int32)
     chunks = []
     for s in range(0, M, step):
