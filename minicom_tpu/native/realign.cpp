@@ -5,9 +5,15 @@
 // reverse-complement, verifies candidates by XOR-popcount over 2-bit-packed
 // words (basediff, bbhashdict.c:247-254) against the threshold, and applies
 // the encode-cost <= 0.4*L rule (encode_byte, kthread_hash_realign.c:283-314;
-// on the rc path only when threshold > 24, :461). Dictionaries are sorted-key
-// gather tables (keys sorted with their singleton index; lookup = binary
-// search) — the deterministic replacement for BooPHF + lock-striped deletion.
+// on the rc path only when threshold > 24, :461). Dictionaries are
+// open-addressing hash tables over the sorted singleton keys (key ->
+// CSR slice of singleton ids) — the deterministic replacement for BooPHF +
+// lock-striped deletion, with O(1) membership for the ~99% of window probes
+// that miss.
+//
+// The window scan is incremental: the packed forward/rc window words roll by
+// one base per offset (O(W) updates instead of O(L) repacking), and each
+// dictionary key is extracted from the packed words with two shifts.
 //
 // Single deterministic pass: candidates are emitted in (window, dict, strand,
 // table-rank) order; the Python side picks one winner per read.
@@ -42,6 +48,15 @@ inline int popcount_xor(const uint64_t* a, const uint64_t* b, int64_t W) {
     return c;
 }
 
+// 2*seg_len bits of the packed window starting at base ds (seg_len <= 31, so
+// the key spans at most two words). words must have one zero guard word.
+inline uint64_t extract_key(const uint64_t* words, int ds, int seg_len) {
+    int shift = 2 * (ds & 31);
+    uint64_t key = words[ds >> 5] >> shift;
+    if (shift) key |= words[(ds >> 5) + 1] << (64 - shift);
+    return key & ((seg_len < 32) ? ((1ULL << (2 * seg_len)) - 1) : ~0ULL);
+}
+
 // diff-string encoded length, cluster rule (run >= 2 -> digits), vs capped
 // early exit once the 0.4*L budget is exceeded.
 inline bool encode_cost_ok(const uint8_t* ref_win, const uint8_t* read,
@@ -66,6 +81,56 @@ inline bool encode_cost_ok(const uint8_t* ref_win, const uint8_t* read,
     return total <= budget;
 }
 
+inline uint64_t mix64(uint64_t x) {  // splitmix64 finalizer
+    x += 0x9E3779B97F4A7C15ULL;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+    return x ^ (x >> 31);
+}
+
+// Open-addressing map key -> (start, count) into the sorted (key, idx) table.
+struct KeyMap {
+    std::vector<uint64_t> keys;       // EMPTY = sentinel
+    std::vector<uint64_t> slot;       // start << 24 | count (count capped)
+    uint64_t mask = 0;
+    static constexpr uint64_t EMPTY = ~0ULL;
+
+    void build(const std::vector<std::pair<uint64_t, uint32_t>>& tab) {
+        size_t cap = 16;
+        while (cap < tab.size() * 2 + 16) cap <<= 1;
+        keys.assign(cap, EMPTY);
+        slot.assign(cap, 0);
+        mask = cap - 1;
+        size_t i = 0;
+        while (i < tab.size()) {
+            size_t j = i;
+            while (j < tab.size() && tab[j].first == tab[i].first) ++j;
+            uint64_t k = tab[i].first;
+            uint64_t h = mix64(k) & mask;
+            while (keys[h] != EMPTY) h = (h + 1) & mask;
+            keys[h] = k;
+            uint64_t cnt = j - i;
+            if (cnt > 0xFFFFFF) cnt = 0xFFFFFF;  // callers cap at max_search
+            slot[h] = ((uint64_t)i << 24) | cnt;
+            i = j;
+        }
+    }
+    // returns count, sets *start; 0 on miss
+    inline uint32_t find(uint64_t k, uint32_t* start) const {
+        uint64_t h = mix64(k) & mask;
+        while (true) {
+            uint64_t kk = keys[h];
+            if (kk == k) {
+                uint64_t s = slot[h];
+                *start = (uint32_t)(s >> 24);
+                return (uint32_t)(s & 0xFFFFFF);
+            }
+            if (kk == EMPTY) return 0;
+            h = (h + 1) & mask;
+        }
+    }
+};
+
 }  // namespace
 
 extern "C" {
@@ -86,14 +151,20 @@ int64_t realign_probe(
     int8_t* out_dir, int32_t* out_pop, int64_t out_cap) {
 
     const int64_t W = (L + 31) / 32;
+    const uint64_t top_mask =
+        (L & 31) ? ((1ULL << (2 * (L & 31))) - 1) : ~0ULL;
 
     // pack singleton reads once
     std::vector<uint64_t> sg_words((size_t)n_sg * W);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t i = 0; i < n_sg; ++i)
         pack_words(sg_codes + i * L, L, sg_words.data() + i * W);
 
-    // sorted-key tables: per dict, (key, sg_idx) sorted by key then idx
+    // sorted-key tables + hash maps: per dict, (key, sg_idx) sorted by key
     std::vector<std::vector<std::pair<uint64_t, uint32_t>>> dicts(n_dicts);
+    std::vector<KeyMap> maps(n_dicts);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic)
 #endif
@@ -104,6 +175,7 @@ int64_t realign_probe(
             tab[i] = {pack_window(sg_codes + i * L + dict_start[d], seg_len),
                       (uint32_t)i};
         std::sort(tab.begin(), tab.end());
+        maps[d].build(tab);
     }
 
     const int64_t cost_budget = (int64_t)(0.4 * L);
@@ -120,6 +192,8 @@ int64_t realign_probe(
 #endif
     {
         std::vector<uint8_t> rc(L), rc_read(L);
+        // +1 guard word for extract_key
+        std::vector<uint64_t> win_words(W + 1, 0), rc_words(W + 1, 0);
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 16)
 #endif
@@ -127,28 +201,44 @@ int64_t realign_probe(
             auto& out = per_contig[c];
             const uint8_t* ref = ref_flat + ref_ptr[c];
             int64_t clen = ref_ptr[c + 1] - ref_ptr[c];
+            if (clen < L) continue;
             for (int64_t jj = 0; jj + L <= clen; ++jj) {
                 const uint8_t* win = ref + jj;
-                // reverse complement of the window
-                for (int64_t i = 0; i < L; ++i) rc[i] = 3 - win[L - 1 - i];
-                uint64_t win_words[8], rc_words[8];
-                pack_words(win, L, win_words);
-                pack_words(rc.data(), L, rc_words);
+                if (jj == 0) {
+                    // initial pack; rc lazily materialized only on a hit
+                    pack_words(win, L, win_words.data());
+                    win_words[W] = 0;
+                    for (int64_t i = 0; i < L; ++i) rc[i] = 3 - win[L - 1 - i];
+                    pack_words(rc.data(), L, rc_words.data());
+                    rc_words[W] = 0;
+                } else {
+                    // roll forward window: drop base 0, append base L-1
+                    for (int64_t w = 0; w < W - 1; ++w)
+                        win_words[w] = (win_words[w] >> 2) |
+                                       (win_words[w + 1] << 62);
+                    win_words[W - 1] >>= 2;
+                    uint64_t nb = win[L - 1];
+                    win_words[(L - 1) >> 5] |= nb << (2 * ((L - 1) & 31));
+                    // rc window: drop LAST base, prepend complement of new
+                    for (int64_t w = W - 1; w > 0; --w)
+                        rc_words[w] = (rc_words[w] << 2) |
+                                      (rc_words[w - 1] >> 62);
+                    rc_words[0] = (rc_words[0] << 2) | (nb ^ 3ULL);
+                    rc_words[W - 1] &= top_mask;
+                }
 
                 for (int strand = 0; strand < 2; ++strand) {
-                    const uint8_t* q = strand ? rc.data() : win;
-                    const uint64_t* qw = strand ? rc_words : win_words;
+                    const uint64_t* qw =
+                        strand ? rc_words.data() : win_words.data();
                     for (int32_t d = 0; d < n_dicts; ++d) {
-                        uint64_t key = pack_window(q + dict_start[d], seg_len);
+                        uint64_t key = extract_key(qw, dict_start[d], seg_len);
+                        uint32_t start, cnt;
+                        cnt = maps[d].find(key, &start);
+                        if (!cnt) continue;
+                        if ((int32_t)cnt > max_search) cnt = max_search;
                         auto& tab = dicts[d];
-                        auto lo = std::lower_bound(
-                            tab.begin(), tab.end(),
-                            std::make_pair(key, (uint32_t)0));
-                        int32_t scanned = 0;
-                        for (auto it = lo;
-                             it != tab.end() && it->first == key &&
-                             scanned < max_search; ++it, ++scanned) {
-                            uint32_t sgi = it->second;
+                        for (uint32_t r = 0; r < cnt; ++r) {
+                            uint32_t sgi = tab[start + r].second;
                             int pop = popcount_xor(
                                 qw, sg_words.data() + (size_t)sgi * W, W);
                             if (pop > thr) continue;
@@ -165,6 +255,7 @@ int64_t realign_probe(
                                 const uint8_t* rd = sg_codes + (size_t)sgi * L;
                                 for (int64_t i = 0; i < L; ++i)
                                     rc_read[i] = 3 - rd[L - 1 - i];
+                                // rc window as codes for the cost check
                                 if (!encode_cost_ok(win, rc_read.data(), L,
                                                     cost_budget))
                                     continue;

@@ -66,6 +66,21 @@ def shard_rows(arr):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+def fetch(arrays):
+    """Batched device->host transfer: start async copies for EVERY array,
+    then materialize them. Through the tunneled chip a blocking sync costs
+    ~27ms of pure latency, so N sequential np.asarray calls cost N latencies;
+    starting all copies first overlaps them into ~one."""
+    arrays = list(arrays)
+    for a in arrays:
+        if isinstance(a, jax.Array):
+            try:
+                a.copy_to_host_async()
+            except Exception:  # backend without async copy support
+                pass
+    return [np.asarray(a) for a in arrays]
+
+
 def sharded_cluster_step(mesh: Mesh, k: int, span_cols: int):
     """jit the fused cluster step with the read batch sharded over `d`.
 

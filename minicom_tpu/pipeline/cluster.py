@@ -33,7 +33,7 @@ from minicom_tpu.ops.consensus import (consensus_finalize, consensus_fused_rid,
 from minicom_tpu.ops.pack import unpack_2bit_words
 from minicom_tpu.ops.sketch import sketch_reads_dyn_gather
 from minicom_tpu.parallel import distributed as dist
-from minicom_tpu.parallel.mesh import replicate, shard_rows
+from minicom_tpu.parallel.mesh import fetch, replicate, shard_rows
 
 
 @dataclasses.dataclass
@@ -171,11 +171,11 @@ def _consensus_chunk(L, base_all_lo, offsets, rids, dirs, span, codes_dev):
         rid[:M] = rids
         dr = np.zeros(step, np.int8)
         dr[:M] = dirs
-        packed, diffs = consensus_fused_rid(
+        packed, diffs = fetch(consensus_fused_rid(
             codes_dev, shard_rows(jnp.asarray(rid)), shard_rows(jnp.asarray(dr)),
-            shard_rows(jnp.asarray(base)), shard_rows(jnp.asarray(offs)), Tp)
-        return (unpack_2bit_words(np.asarray(packed), span),
-                np.asarray(diffs)[:M].astype(np.int32))
+            shard_rows(jnp.asarray(base)), shard_rows(jnp.asarray(offs)), Tp))
+        return (unpack_2bit_words(packed, span),
+                diffs[:M].astype(np.int32))
     table = jnp.zeros((Tp, 4), jnp.int32)
     chunks = []
     for s in range(0, M, step):
@@ -194,12 +194,13 @@ def _consensus_chunk(L, base_all_lo, offsets, rids, dirs, span, codes_dev):
         table = scatter_counts_rid(table, codes_dev, *chunk)
     packed = consensus_finalize(table)
     diff_parts = [member_diffs_packed_rid(packed, codes_dev, *c)
-                  for c in chunks]  # dispatch all, then block once
+                  for c in chunks]  # dispatch all, then one batched fetch
+    packed, *diff_parts = fetch([packed, *diff_parts])
     diffs = np.empty(M, np.int32)
     for i, s in enumerate(range(0, M, step)):
         t = min(s + step, M)
-        diffs[s:t] = np.asarray(diff_parts[i])[: t - s]
-    ref_flat = unpack_2bit_words(np.asarray(packed), span)
+        diffs[s:t] = diff_parts[i][: t - s]
+    ref_flat = unpack_2bit_words(packed, span)
     return ref_flat, diffs
 
 
@@ -227,8 +228,10 @@ def _sketch(pending: np.ndarray, codes_dev, k: int, L: int):
         rid[: t - s] = mine[s:t]
         outs.append(sketch_reads_dyn_gather(
             codes_dev, shard_rows(jnp.asarray(rid)), k))
-    parts = [tuple(np.asarray(x)[: min(s + step, n) - s] for x in o)
-             for s, o in zip(range(0, n, step), outs)]
+    flat = fetch([x for o in outs for x in o])
+    outs_h = [flat[i:i + 5] for i in range(0, len(flat), 5)]
+    parts = [tuple(x[: min(s + step, n) - s] for x in o)
+             for s, o in zip(range(0, n, step), outs_h)]
     z32, z8 = np.zeros(0, np.uint32), np.zeros(0, np.int8)
     khi, klo, pos, strand = (
         np.concatenate([p[i] for p in parts]) if parts else z

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from minicom_tpu.config import ResolvedConfig
 from minicom_tpu.ops.sketch import sketch_windowed_gather
 from minicom_tpu.parallel import distributed as dist
-from minicom_tpu.parallel.mesh import replicate
+from minicom_tpu.parallel.mesh import fetch, replicate
 from minicom_tpu.pipeline.cluster import ClusterSet, consensus_from_members
 
 _MAX_SEG = 32          # candidate entries considered per k-mer segment
@@ -110,8 +110,11 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
     keys, cids, poss, dirs = [np.zeros(0, d) for d in
                               (np.uint64, np.int64, np.int32, np.int8)]
     keys, cids, poss, dirs = [keys], [cids], [poss], [dirs]
-    for batch, nb, out in outs:  # all dispatched; now block + postprocess
-        h, hi, lo, pos, strand, valid = (np.asarray(x) for x in out)
+    flat = fetch([x for (_, _, out) in outs for x in out])
+    outs = [(b, nb, flat[i * 6:i * 6 + 6])
+            for i, (b, nb, _) in enumerate(outs)]
+    for batch, nb, out in outs:  # all dispatched + fetched in one batch
+        h, hi, lo, pos, strand, valid = out
         v = valid[:nb]
         key = (hi[:nb].astype(np.uint64) << np.uint64(32)) | lo[:nb].astype(np.uint64)
         cid = np.broadcast_to(batch[:, None], v.shape)
