@@ -4,11 +4,19 @@ The reference shells out to `bsc e -b64p -e2` per stream and `7z` for one PE
 stream (`minicom:115-148,247`). Here each stream is entropy-coded in-process
 through a named backend:
 
-* "xz"   — LZMA raw stream (host, stdlib),
-* "o1rc" — the package's native order-1 adaptive binary range coder
-           (minicom_tpu/native/rangecoder.cpp),
-* "auto" — per-stream best of {xz, o1rc} (recorded in the stream table),
+* "xz"    — LZMA raw stream (host, stdlib),
+* "o1rc"  — native order-1 adaptive binary range coder,
+* "o2rc"  — native order-2 (two previous bytes) range coder,
+* "dnarc" — native 2-bit base-symbol coder with a 16-base rolling-hash
+            context (for the packed consensus / singleton streams: repeated
+            genome regions across contigs predict the next base — the
+            redundancy the reference outsources to bsc's BWT),
 * "bz2" / "zlib" / "store" — stdlib alternatives.
+
+Any codec may be prefixed "pK:" (K in 2,4,8): the stream is treated as an
+array of K-byte little-endian records and deinterleaved into K byte planes
+before coding (delta-position / count / id streams compress better by
+plane). The transform is exactly invertible given the stream length.
 
 Streams are independent, so archives remain deterministic and
 host/device-count independent.
@@ -20,45 +28,89 @@ import bz2
 import lzma
 import zlib
 
+import numpy as np
 
 _XZ_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 9 | lzma.PRESET_EXTREME}]
 
+_RC_FAMILIES = ("o1rc", "o2rc", "dnarc")
+
+
+def _split(name: str) -> tuple[int, str]:
+    if name.startswith("p") and ":" in name:
+        stride, base = name.split(":", 1)
+        return int(stride[1:]), base
+    return 1, name
+
+
+def _deinterleave(data: bytes, stride: int) -> bytes:
+    if stride == 1 or len(data) % stride:
+        return data
+    a = np.frombuffer(data, np.uint8).reshape(-1, stride)
+    return a.T.tobytes()
+
+
+def _interleave(data: bytes, stride: int) -> bytes:
+    if stride == 1 or len(data) % stride:
+        return data
+    a = np.frombuffer(data, np.uint8).reshape(stride, -1)
+    return a.T.tobytes()
+
 
 def compress(name: str, data: bytes) -> bytes:
-    if name == "store":
+    stride, base = _split(name)
+    data = _deinterleave(data, stride)
+    if base == "store":
         return data
-    if name == "xz":
+    if base == "xz":
         return lzma.compress(data, format=lzma.FORMAT_RAW, filters=_XZ_FILTERS)
-    if name == "bz2":
+    if base == "bz2":
         return bz2.compress(data, 9)
-    if name == "zlib":
+    if base == "zlib":
         return zlib.compress(data, 9)
-    if name == "o1rc":
+    if base in _RC_FAMILIES:
         from minicom_tpu import native
-        return native.o1rc_encode(data)
+        return native.rc_encode(base, data)
     raise ValueError(f"unknown codec {name!r}")
 
 
 def decompress(name: str, data: bytes, raw_len: int) -> bytes:
-    if name == "store":
-        return data
-    if name == "xz":
-        return lzma.decompress(data, format=lzma.FORMAT_RAW, filters=_XZ_FILTERS)
-    if name == "bz2":
-        return bz2.decompress(data)
-    if name == "zlib":
-        return zlib.decompress(data)
-    if name == "o1rc":
+    stride, base = _split(name)
+    if base == "store":
+        out = data
+    elif base == "xz":
+        out = lzma.decompress(data, format=lzma.FORMAT_RAW, filters=_XZ_FILTERS)
+    elif base == "bz2":
+        out = bz2.decompress(data)
+    elif base == "zlib":
+        out = zlib.decompress(data)
+    elif base in _RC_FAMILIES:
         from minicom_tpu import native
-        return native.o1rc_decode(data, raw_len)
-    raise ValueError(f"unknown codec {name!r}")
+        out = native.rc_decode(base, data, raw_len)
+    else:
+        raise ValueError(f"unknown codec {name!r}")
+    return _interleave(out, stride)
+
+
+def available(name: str) -> bool:
+    """Whether a codec can run in this environment (native lib may be
+    missing for the range-coder family; everything else is stdlib)."""
+    if _split(name)[1] in _RC_FAMILIES:
+        from minicom_tpu import native
+        return native.has_native()
+    return True
 
 
 def best_of(candidates: list[str], data: bytes) -> tuple[str, bytes]:
-    """Pick the smallest encoding among candidate backends (deterministic)."""
+    """Pick the smallest encoding among the AVAILABLE candidate backends
+    (deterministic given the same availability; archives self-describe the
+    codec used per stream)."""
     best = None
     for name in candidates:
+        if not available(name):
+            continue
         blob = compress(name, data)
         if best is None or len(blob) < len(best[1]):
             best = (name, blob)
+    if best is None:
+        raise RuntimeError("no entropy backend available")
     return best

@@ -27,6 +27,32 @@ MAGIC = b"MTC1"
 _POOL = ThreadPoolExecutor(max_workers=max(2, (os.cpu_count() or 2)))
 
 
+# "auto" candidate codecs per stream class. The 2-bit packed DNA streams get
+# the high-order base-context coder; the structured diff text gets the
+# order-2 byte coder; fixed-width integer streams are deinterleaved into
+# byte planes first. "store" everywhere guarantees no stream ever inflates.
+_AUTO: Dict[str, list] = {
+    "ref": ["dnarc", "xz"],
+    "single": ["dnarc", "xz"],
+    "diff": ["o2rc", "o1rc"],
+    "nsingle": ["o2rc", "o1rc", "xz"],
+    "aa": ["o2rc", "o1rc", "xz"],
+    "tt": ["o2rc", "o1rc", "xz"],
+    "nn": ["o2rc", "o1rc", "xz"],
+    "cnt": ["p4:xz", "p4:o1rc"],
+    "dpos": ["p2:o1rc", "p2:xz"],
+    "dposx": ["p4:xz", "p4:o1rc"],
+    "ids": ["p4:xz", "p4:o1rc"],
+    "peids": ["p4:xz", "p4:o1rc"],
+}
+_AUTO_DEFAULT = ["xz", "o1rc"]
+
+
+def _auto_candidates(name: str) -> list:
+    key = "ids" if name.startswith("ids_") else name
+    return _AUTO.get(key, _AUTO_DEFAULT) + ["store"]
+
+
 def write_container(path: str, meta: dict, streams: Dict[str, bytes],
                     codec: str) -> int:
     """Compress and write streams; returns total archive bytes."""
@@ -35,7 +61,7 @@ def write_container(path: str, meta: dict, streams: Dict[str, bytes],
     def encode_one(name: str) -> tuple[str, bytes]:
         raw = streams[name]
         if codec == "auto":
-            return backend.best_of(["xz", "o1rc"], raw)
+            return backend.best_of(_auto_candidates(name), raw)
         return codec, backend.compress(codec, raw)
 
     table = []

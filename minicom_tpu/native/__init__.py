@@ -58,12 +58,12 @@ def _load():
         lib.diff_encode_lengths.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_int64, ctypes.c_int64,
                                             ctypes.c_int, ctypes.c_void_p]
-        lib.o1rc_encode.restype = ctypes.c_int64
-        lib.o1rc_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
-                                    ctypes.c_void_p, ctypes.c_int64]
-        lib.o1rc_decode.restype = ctypes.c_int64
-        lib.o1rc_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
-                                    ctypes.c_void_p, ctypes.c_int64]
+        for fam in ("o1rc", "o2rc", "dnarc"):
+            for fn in (getattr(lib, fam + "_encode"),
+                       getattr(lib, fam + "_decode")):
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                               ctypes.c_void_p, ctypes.c_int64]
         lib.realign_probe.restype = ctypes.c_int64
         lib.realign_probe.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -252,28 +252,40 @@ def _py_decode(text: bytes, ref_rows) -> np.ndarray:
     return out
 
 
-def o1rc_encode(data: bytes) -> bytes:
-    """Order-1 adaptive binary range coder (native only — no fallback)."""
+def rc_encode(family: str, data: bytes) -> bytes:
+    """Adaptive range coder encode: family in {o1rc, o2rc, dnarc}
+    (native only — no fallback)."""
     lib = _load()
     if not lib:
         raise RuntimeError("native range coder unavailable")
     buf = np.frombuffer(data, dtype=np.uint8)
-    cap = len(buf) + len(buf) // 8 + 64
-    out = np.empty(cap, dtype=np.uint8)
-    n = lib.o1rc_encode(buf.ctypes.data, len(buf), out.ctypes.data, cap)
-    if n < 0:
-        raise RuntimeError("o1rc_encode overflow")
-    return out[:n].tobytes()
+    cap = len(buf) + len(buf) // 4 + 64
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = getattr(lib, family + "_encode")(
+            buf.ctypes.data, len(buf), out.ctypes.data, cap)
+        if n >= 0:
+            return out[:n].tobytes()
+        cap *= 4  # adversarial input can expand; retry with more room
 
 
-def o1rc_decode(data: bytes, raw_len: int) -> bytes:
+def rc_decode(family: str, data: bytes, raw_len: int) -> bytes:
     lib = _load()
     if not lib:
         raise RuntimeError("native range coder unavailable")
     buf = np.frombuffer(data, dtype=np.uint8)
     out = np.empty(raw_len, dtype=np.uint8)
-    lib.o1rc_decode(buf.ctypes.data, len(buf), out.ctypes.data, raw_len)
+    getattr(lib, family + "_decode")(
+        buf.ctypes.data, len(buf), out.ctypes.data, raw_len)
     return out.tobytes()
+
+
+def o1rc_encode(data: bytes) -> bytes:
+    return rc_encode("o1rc", data)
+
+
+def o1rc_decode(data: bytes, raw_len: int) -> bytes:
+    return rc_decode("o1rc", data, raw_len)
 
 
 def has_native() -> bool:

@@ -1,5 +1,5 @@
-"""Entropy backends: roundtrip + the native range coder beats/nears xz on
-diff-like text."""
+"""Entropy backends: roundtrip + the native range-coder family beats/nears xz
+on the stream classes it is assigned to."""
 
 import numpy as np
 import pytest
@@ -8,17 +8,20 @@ from minicom_tpu.entropy import backend
 from minicom_tpu import native
 
 
-@pytest.mark.parametrize("codec", ["xz", "bz2", "zlib", "store", "o1rc"])
+@pytest.mark.parametrize("codec", ["xz", "bz2", "zlib", "store", "o1rc",
+                                   "o2rc", "dnarc", "p2:o1rc", "p4:xz",
+                                   "p2:dnarc"])
 def test_backend_roundtrip(rng, codec):
     data = bytes(rng.integers(0, 64, size=10000, dtype=np.uint8)) + b"0\n" * 500
     blob = backend.compress(codec, data)
     assert backend.decompress(codec, blob, len(data)) == data
 
 
-def test_o1rc_empty_and_tiny():
+@pytest.mark.parametrize("family", ["o1rc", "o2rc", "dnarc"])
+def test_rc_empty_and_tiny(family):
     for data in [b"", b"A", b"ACGT" * 3]:
-        blob = native.o1rc_encode(data)
-        assert native.o1rc_decode(blob, len(data)) == data
+        blob = native.rc_encode(family, data)
+        assert native.rc_decode(family, blob, len(data)) == data
 
 
 def test_o1rc_compresses_structured(rng):
@@ -35,6 +38,37 @@ def test_o1rc_compresses_structured(rng):
     assert native.o1rc_decode(blob, len(data)) == data
 
 
+def test_dnarc_exploits_repeats_and_rc(rng):
+    """Repeated genome regions — forward AND reverse-complement — code at a
+    fraction of a bit per base (the IR model of rangecoder.cpp)."""
+    seq = rng.integers(0, 4, 20000, dtype=np.uint8)
+    rc = (3 - seq)[::-1]
+    full = np.concatenate([seq, seq, rc])
+    packed = np.zeros((len(full) + 3) // 4, np.uint8)
+    for i in range(4):
+        part = full[i::4]
+        packed[: len(part)] |= part << (2 * i)
+    data = packed.tobytes()
+    blob = backend.compress("dnarc", data)
+    assert backend.decompress("dnarc", blob, len(data)) == data
+    # unique content is 1/3 of the stream; repeats (fwd + rc) must shrink it
+    # well below the 2-bit-packed raw size
+    assert len(blob) < len(data) * 0.62
+    # and beat xz -9e on the packed representation
+    assert len(blob) < len(backend.compress("xz", data))
+
+
+def test_plane_transform_is_exact(rng):
+    dpos = rng.integers(0, 1 << 16, 5000, dtype=np.uint16).tobytes()
+    for codec in ("p2:o1rc", "p2:xz"):
+        blob = backend.compress(codec, dpos)
+        assert backend.decompress(codec, blob, len(dpos)) == dpos
+    # non-multiple lengths fall back to untransformed coding, still exact
+    odd = dpos[:4097]
+    blob = backend.compress("p2:o1rc", odd)
+    assert backend.decompress("p2:o1rc", blob, len(odd)) == odd
+
+
 def test_auto_codec_container(tmp_path, rng):
     from minicom_tpu.io import container
     streams = {"a": bytes(1000), "b": bytes(rng.integers(0, 255, 5000, np.uint8))}
@@ -42,4 +76,4 @@ def test_auto_codec_container(tmp_path, rng):
     container.write_container(str(p), {"x": 1}, streams, "auto")
     meta, got = container.read_container(str(p))
     assert got == streams
-    assert all(e["codec"] in ("xz", "o1rc") for e in meta["streams"])
+    assert all(e["codec"] in ("xz", "o1rc", "store") for e in meta["streams"])
