@@ -65,9 +65,11 @@ def compress(reads_path: str, out_path: str, cfg: CompressorConfig | None = None
     rcfg = cfg.resolve(L if L else 1, n_singletons=len(sg))
 
     with stats.stage("merge"):
-        cset = merge_contigs(cset, rcfg, cls.codes_sub, codes_dev)
+        cset = merge_contigs(cset, rcfg, cls.codes_sub, codes_dev,
+                             stats.counters)
     del codes_dev
     stats.set("clusters_merged", cset.n_clusters)
+    stats.set("consensus_bases", int(cset.ref_ptr[-1]))
 
     with stats.stage("realign"):
         cset, sg, extra_a, extra_t = realign_ladder(

@@ -31,7 +31,11 @@ from minicom_tpu.parallel import distributed as dist
 from minicom_tpu.parallel.mesh import fetch, replicate
 from minicom_tpu.pipeline.cluster import ClusterSet, consensus_from_members
 
-_MAX_SEG = 32          # candidate entries considered per k-mer segment
+_RANK_CAP = 48         # minimizers kept per contig for PROBING (the
+                       # reference probes with every own minimizer,
+                       # kthread_cb.c:267-274; 48 covers contigs well past
+                       # the lengths seen before merging converges)
+_MAX_PER_PROBE = 24    # index hits paired per probe entry (drops logged)
 _SKETCH_BUDGET = 1 << 26  # uint8 elements per padded sketch batch
 
 
@@ -55,7 +59,7 @@ def _select(cs: ClusterSet, idx: np.ndarray) -> ClusterSet:
                       cs.mem_dir[mem_idx], cptr, cs.ref_flat[ref_idx], rptr)
 
 
-def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
+def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int = 0):
     """Windowed minimizers of every contig, length-bucketed batches.
 
     The flat contig stream is uploaded to device ONCE (pow2-padded); each
@@ -63,14 +67,19 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
     [rows, Lmax] code matrix is built by an on-device gather
     (sketch_windowed_gather) — contig bytes never cross the host link twice.
 
-    Returns flat arrays (key64, contig_id, pos, strand) over all valid
-    entries, at most m per contig, deterministic order.
+    Returns flat arrays (key64, contig_id, pos, strand, rank) over all valid
+    entries, at most max(m, _RANK_CAP) per contig in position order; ``rank``
+    is the entry's position-ordinal within its contig, so callers can select
+    the reference's "first m indexed" subset (kthread_bucket.c:451-475)
+    while PROBING with every entry (kthread_cb.c:267-274).
     """
+    m = max(m, _RANK_CAP)
     lens = cs.ref_lengths()
     C = cs.n_clusters
     if C == 0 or len(cs.ref_flat) == 0:
         z = np.zeros(0, np.int64)
-        return np.zeros(0, np.uint64), z, z.astype(np.int32), z.astype(np.int8)
+        return (np.zeros(0, np.uint64), z, z.astype(np.int32),
+                z.astype(np.int8), z.astype(np.int32))
     order = np.argsort(lens, kind="stable")
 
     # plan the length-bucketed batches first (host, cheap), then process a
@@ -107,9 +116,9 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
             ref_dev, jnp.asarray(starts.astype(np.int32)),
             jnp.asarray(lens_pad), k, min(w, Lmax - k + 1), m, Lmax)
         outs.append((batch, nb, out))
-    keys, cids, poss, dirs = [np.zeros(0, d) for d in
-                              (np.uint64, np.int64, np.int32, np.int8)]
-    keys, cids, poss, dirs = [keys], [cids], [poss], [dirs]
+    keys, cids, poss, dirs, ranks = [[np.zeros(0, d)] for d in
+                                     (np.uint64, np.int64, np.int32,
+                                      np.int8, np.int32)]
     flat = fetch([x for (_, _, out) in outs for x in out])
     outs = [(b, nb, flat[i * 6:i * 6 + 6])
             for i, (b, nb, _) in enumerate(outs)]
@@ -118,44 +127,52 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int):
         v = valid[:nb]
         key = (hi[:nb].astype(np.uint64) << np.uint64(32)) | lo[:nb].astype(np.uint64)
         cid = np.broadcast_to(batch[:, None], v.shape)
+        rank = np.broadcast_to(np.arange(v.shape[1], dtype=np.int32)[None, :],
+                               v.shape)
         keys.append(key[v])
         cids.append(cid[v])
         poss.append(pos[:nb][v].astype(np.int32))
         dirs.append(strand[:nb][v])
+        ranks.append(rank[v])
     return (dist.allgather_ragged(np.concatenate(keys)),
             dist.allgather_ragged(np.concatenate(cids)),
             dist.allgather_ragged(np.concatenate(poss)),
-            dist.allgather_ragged(np.concatenate(dirs)))
+            dist.allgather_ragged(np.concatenate(dirs)),
+            dist.allgather_ragged(np.concatenate(ranks)))
 
 
-def _candidate_pairs(key, cid, pos, strand):
+def _candidate_pairs(key, cid, pos, strand, rank, m, stats=None):
     """Ordered pairs (a, b, shift) of contigs sharing a minimizer k-mer with
-    equal strand. shift d aligns b into a's coordinates (col_b0 at col d)."""
-    srt = np.lexsort((pos, cid, key))
-    key, cid, pos, strand = key[srt], cid[srt], pos[srt], strand[srt]
-    new_seg = np.ones(len(key), bool)
-    new_seg[1:] = key[1:] != key[:-1]
-    seg = np.cumsum(new_seg) - 1
-    # cap entries per segment for quadratic pairing
-    rank = np.arange(len(key)) - np.repeat(
-        np.flatnonzero(new_seg), np.diff(np.r_[np.flatnonzero(new_seg), len(key)]))
-    keep = rank < _MAX_SEG
-    key, cid, pos, strand, seg = (x[keep] for x in (key, cid, pos, strand, seg))
-    sizes = np.bincount(seg)
-    sizes = sizes[sizes > 0]
-    if len(sizes) == 0:
+    equal strand. shift d aligns b into a's coordinates (col_b0 at col d).
+
+    Mirrors the reference's asymmetric search (kthread_cb.c:267-290): the
+    INDEX holds only each contig's first ``m`` minimizers
+    (kthread_bucket.c:451-475) while every minimizer of every contig PROBES
+    it. Hits per probe are capped at _MAX_PER_PROBE (first-in-index order);
+    drops are counted in ``stats`` rather than silently swallowed."""
+    idx = rank < m
+    ik, ic, ip, iz = key[idx], cid[idx], pos[idx], strand[idx]
+    srt = np.argsort(ik, kind="stable")
+    ik, ic, ip, iz = ik[srt], ic[srt], ip[srt], iz[srt]
+    lo = np.searchsorted(ik, key, side="left")
+    hi = np.searchsorted(ik, key, side="right")
+    cnt_all = hi - lo
+    cnt = np.minimum(cnt_all, _MAX_PER_PROBE)
+    if stats is not None:
+        stats["merge_probe_drops"] = stats.get("merge_probe_drops", 0) + \
+            int((cnt_all - cnt).sum())
+    tot = int(cnt.sum())
+    if tot == 0:
         return (np.zeros(0, np.int64),) * 3
-    starts = np.cumsum(np.r_[0, sizes[:-1]])
-    # all ordered pairs within each segment
-    p2 = sizes * sizes
-    tot = int(p2.sum())
-    segp = np.repeat(np.arange(len(sizes)), p2)
-    local = np.arange(tot) - np.repeat(np.cumsum(np.r_[0, p2[:-1]]), p2)
-    ia = starts[segp] + local // np.repeat(sizes, p2)
-    ib = starts[segp] + local % np.repeat(sizes, p2)
-    ok = (ia != ib) & (cid[ia] != cid[ib]) & (strand[ia] == strand[ib])
-    a, b = cid[ia[ok]], cid[ib[ok]]
-    d = (pos[ia[ok]] - pos[ib[ok]]).astype(np.int64)
+    probe = np.repeat(np.arange(len(key)), cnt)
+    hit = (np.repeat(lo, cnt)
+           + (np.arange(tot) - np.repeat(np.cumsum(np.r_[0, cnt[:-1]]), cnt)))
+    ok = (cid[probe] != ic[hit]) & (strand[probe] == iz[hit])
+    a = cid[probe[ok]]
+    b = ic[hit[ok]]
+    # shift aligns b into a's coordinates: the shared k-mer sits at pos_a in
+    # a and pos_b in b, so b's column 0 lands at pos_a - pos_b
+    d = (pos[probe[ok]].astype(np.int64) - ip[hit[ok]])
     if len(a) == 0:
         return (np.zeros(0, np.int64),) * 3
     uniq = np.unique(np.stack([a, b, d], axis=1), axis=0)
@@ -189,17 +206,17 @@ def _score_pairs(cs: ClusterSet, a, b, d, cap: int):
 
 
 def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
-                  codes_sub: np.ndarray, codes_dev=None) -> ClusterSet:
+                  codes_sub: np.ndarray, codes_dev=None,
+                  stats: dict | None = None) -> ClusterSet:
     L = cset.readlen
     if codes_dev is None:
         codes_dev = replicate(jnp.asarray(codes_sub))
     pre_tot = 0
-    sk = None  # cached (key, cid, pos, strand) of every contig's minimizers
+    sk = None  # cached (key, cid, pos, strand, rank) of contig minimizers
     while cset.n_clusters > 1:
         if sk is None:
-            sk = sketch_contigs(
-                cset, cfg.k, cfg.contig_window, cfg.first_minimizers)
-        a, b, d = _candidate_pairs(*sk)
+            sk = sketch_contigs(cset, cfg.k, cfg.contig_window)
+        a, b, d = _candidate_pairs(*sk, cfg.first_minimizers, stats)
         n_merges = 0
         if len(a):
             scores = _score_pairs(cset, a, b, d, cfg.cb_threshold)
@@ -225,16 +242,16 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
                 n_keep = len(kept_old)
                 remap = np.full(len(matched), -1, np.int64)
                 remap[kept_old] = np.arange(n_keep)
-                key, cid, pos, strand = sk
+                key, cid, pos, strand, rank = sk
                 live = remap[cid] >= 0
                 merged_ids = np.arange(n_keep, n_keep + n_pairs)
-                fk, fc, fp, fs = sketch_contigs(
-                    _select(cset, merged_ids), cfg.k, cfg.contig_window,
-                    cfg.first_minimizers)
+                fk, fc, fp, fs, fr = sketch_contigs(
+                    _select(cset, merged_ids), cfg.k, cfg.contig_window)
                 sk = (np.concatenate([key[live], fk]),
                       np.concatenate([remap[cid[live]], fc + n_keep]),
                       np.concatenate([pos[live], fp]),
-                      np.concatenate([strand[live], fs]))
+                      np.concatenate([strand[live], fs]),
+                      np.concatenate([rank[live], fr]))
         tot = cset.n_clusters
         if abs(pre_tot - tot) < 100 or n_merges == 0:
             break
