@@ -74,6 +74,22 @@ def main():
     raw_seq = b"\n".join(a) + b"\n"
     xz_bytes = len(lzma.compress(raw_seq, preset=9 | lzma.PRESET_EXTREME))
 
+    # head-to-head vs the REFERENCE binary (built from /root/reference with
+    # this input's config.h; its raw streams entropy-coded with the same
+    # xz -9e that stands in for bsc — tools/ref_compare.py). Skipped
+    # gracefully if the toolchain or reference tree is unavailable.
+    ref = {}
+    if os.environ.get("BENCH_REF", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.ref_compare import run_reference
+            r = run_reference(fq, threads=os.cpu_count() or 2)
+            ref = {"ref_bytes": r["ref_stream_bytes"],
+                   "ref_wall_s": r["ref_wall_s"],
+                   "size_vs_ref": round(r["ref_stream_bytes"] / mtc_bytes, 4)}
+        except Exception as e:  # pragma: no cover
+            ref = {"ref_error": str(e)[:200]}
+
     mb = seq_bytes / 1e6
     result = {
         "metric": "encode_MBps",
@@ -87,6 +103,7 @@ def main():
         "ratio": round(seq_bytes / mtc_bytes, 3),
         "roundtrip_exact": bool(roundtrip_ok),
         "n_reads": n_reads,
+        **ref,
     }
     print(json.dumps(result))
     if not roundtrip_ok:

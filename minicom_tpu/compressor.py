@@ -43,6 +43,10 @@ def compress(reads_path: str, out_path: str, cfg: CompressorConfig | None = None
             cfg.paired = True
     n_seq, L = codes.shape
     rcfg = cfg.resolve(L if L else 1)
+    if rcfg.threads > 0:  # -t: cap native OpenMP + entropy pool workers
+        from minicom_tpu import native
+        native.set_threads(rcfg.threads)
+        container.set_threads(rcfg.threads)
 
     with stats.stage("classify"):
         cls = classify_mod.classify(codes, rcfg)

@@ -38,10 +38,12 @@ class CompressorConfig:
     paired: bool = False            # paired-end mode                (-1/-2)
     threads: int = 0                # host worker threads            (-t); 0 = auto
 
-    # fixed internals (minicommain.c:175, :77, :88; preprocess.c:169-172)
-    bucket_bits: int = 14           # b: 2^b minimizer-hash bucket space
+    # fixed internals (minicommain.c:77; preprocess.c:169-172). The
+    # reference's 2^b bucket space and maxmatch shift table have no analogue
+    # here: grouping is one global sort and the realign search uses only the
+    # zero-shift window (the reference itself only ever probes shift 0,
+    # kthread_hash_realign.c:360), so neither is a config knob.
     max_search: int = 500           # realign candidates scanned per probe
-    max_match: int = 0              # derived: readlen/2 (or 2L/3 small-input)
 
     # entropy backend: "auto" (best of xz/o1rc per stream) | "xz" | "o1rc"
     # | "bz2" | "zlib" | "store"
@@ -81,20 +83,17 @@ class CompressorConfig:
             num_dicts = self.num_dicts
             centered = True  # user-shrunk dicts are centered (kthread_hash_realign.c:197-201)
 
-        max_match = self.max_match if self.max_match > 0 else readlen // 2
         max_search = self.max_search
         if n_singletons is not None and n_singletons <= 5_000_000:
-            max_match = readlen * 2 // 3
-            max_search = 2000
+            max_search = 2000   # widened search (preprocess.c:169-172)
 
         return ResolvedConfig(
             readlen=readlen, k=k, diff_threshold=e, cb_threshold=g,
             thr_step=step, max_threshold=max_thr, first_minimizers=m,
             contig_window=rw, num_dicts=num_dicts, dict_seg_len=seg_len,
             dicts_centered=centered, max_rounds=self.max_rounds,
-            bucket_bits=self.bucket_bits, max_match=max_match,
             max_search=max_search, order=self.order, paired=self.paired,
-            codec=self.codec,
+            threads=self.threads, codec=self.codec,
         )
 
 
@@ -114,9 +113,8 @@ class ResolvedConfig:
     dict_seg_len: int
     dicts_centered: bool
     max_rounds: int
-    bucket_bits: int
-    max_match: int
     max_search: int
+    threads: int
     order: bool
     paired: bool
     codec: str

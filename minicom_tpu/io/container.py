@@ -23,8 +23,24 @@ MAGIC = b"MTC1"
 
 # entropy coding is embarrassingly parallel across (stream, codec) pairs and
 # both lzma and the native range coder release the GIL (the reference runs
-# one bsc process per stream in the background, minicom:115-148)
-_POOL = ThreadPoolExecutor(max_workers=max(2, (os.cpu_count() or 2)))
+# one bsc process per stream in the background, minicom:115-148). Pool size
+# follows the -t flag via set_threads.
+_POOL: ThreadPoolExecutor | None = None
+_POOL_SIZE = max(2, (os.cpu_count() or 2))
+
+
+def set_threads(n: int) -> None:
+    global _POOL, _POOL_SIZE
+    if n > 0 and n != _POOL_SIZE:
+        _POOL_SIZE = n
+        _POOL = None
+
+
+def _pool() -> ThreadPoolExecutor:
+    global _POOL
+    if _POOL is None:
+        _POOL = ThreadPoolExecutor(max_workers=_POOL_SIZE)
+    return _POOL
 
 
 # "auto" candidate codecs per stream class. The 2-bit packed DNA streams get
@@ -67,7 +83,7 @@ def write_container(path: str, meta: dict, streams: Dict[str, bytes],
     table = []
     blobs = []
     off = 0
-    for name, (used, blob) in zip(names, _POOL.map(encode_one, names)):
+    for name, (used, blob) in zip(names, _pool().map(encode_one, names)):
         raw = streams[name]
         table.append({"name": name, "off": off, "clen": len(blob),
                       "rlen": len(raw), "codec": used})
@@ -98,4 +114,4 @@ def read_container(path: str) -> tuple[dict, Dict[str, bytes]]:
         blob = data[base + ent["off"]: base + ent["off"] + ent["clen"]]
         return ent["name"], backend.decompress(ent["codec"], blob, ent["rlen"])
 
-    return meta, dict(_POOL.map(decode_one, meta["streams"]))
+    return meta, dict(_pool().map(decode_one, meta["streams"]))

@@ -92,6 +92,8 @@ def _load():
         lib.codes_to_lines.restype = None
         lib.codes_to_lines.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_void_p]
+        lib.set_num_threads.restype = None
+        lib.set_num_threads.argtypes = [ctypes.c_int]
         _lib = lib
     else:
         _lib = False
@@ -290,6 +292,15 @@ def o1rc_decode(data: bytes, raw_len: int) -> bytes:
 
 def has_native() -> bool:
     return bool(_load())
+
+
+def set_threads(n: int) -> None:
+    """Cap the native OpenMP worker count (the -t flag; results are
+    byte-identical for any thread count — see realign.cpp's per-contig
+    buffers and diffcodec's two-pass design)."""
+    lib = _load()
+    if lib and n > 0:
+        lib.set_num_threads(int(n))
 
 
 def fastq_parse_codes(data: bytes):

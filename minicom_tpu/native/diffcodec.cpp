@@ -135,7 +135,7 @@ int64_t diff_decode(const uint8_t* text, int64_t text_len,
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-                { if (!bad) bad = r + 1; }
+                { if (!bad || r + 1 < bad) bad = r + 1; }  // lowest row: deterministic errors
                 break;
             }
         }
@@ -255,7 +255,7 @@ int64_t diff_decode_win(const uint8_t* text, int64_t text_len,
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-                    { if (!bad) bad = r + 1; }
+                    { if (!bad || r + 1 < bad) bad = r + 1; }  // lowest row: deterministic errors
                     break;
                 }
             }

@@ -287,3 +287,10 @@ int64_t realign_probe(
 }
 
 }  // extern "C"
+
+extern "C" void set_num_threads(int n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#endif
+    (void)n;
+}

@@ -41,22 +41,53 @@ def _mix32(hi, lo):
     return h ^ (h >> np.uint32(16))
 
 
-def _slide(x, w, op, fill):
-    """op-reduction over every length-w window starting at each column
-    (windows clipped at the row end are padded with ``fill``)."""
-    S = x.shape[1]
-    xp = jnp.pad(x, ((0, 0), (0, w - 1)), constant_values=fill)
-    f = xp
+def _shl(x, s: int, fill):
+    """Full-width shift toward lower indices: out[i] = x[i+s], tail = fill.
+
+    Mosaic miscompiles offset slices on the minor (lane) dimension once the
+    width exceeds one 128-lane tile, so EVERY windowed access in this kernel
+    is a full-width lane rotation + iota mask instead of a strided slice."""
+    if s == 0:
+        return x
+    W = x.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(idx < W - s, pltpu.roll(x, -s % W, 1), fill)
+
+
+def _shr(x, s: int, fill):
+    """Full-width shift toward higher indices: out[i] = x[i-s], head = fill."""
+    if s == 0:
+        return x
+    W = x.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(idx >= s, pltpu.roll(x, s % W, 1), fill)
+
+
+def _slide_l(x, w, op, fill):
+    """op over the length-w window STARTING at each column (clipped windows
+    padded with fill). Full width, roll-based."""
+    f = x
     span = 1
-    n = xp.shape[1]
     while span * 2 <= w:
-        f = op(f[:, : n - span], f[:, span:])
-        n -= span
+        f = op(f, _shl(f, span, fill))
         span *= 2
     rem = w - span
     if rem:
-        return op(f[:, :S], f[:, rem: rem + S])
-    return f[:, :S]
+        f = op(f, _shl(f, rem, fill))
+    return f
+
+
+def _slide_r(x, w, op, fill):
+    """op over the length-w window ENDING at each column."""
+    f = x
+    span = 1
+    while span * 2 <= w:
+        f = op(f, _shr(f, span, fill))
+        span *= 2
+    rem = w - span
+    if rem:
+        f = op(f, _shr(f, rem, fill))
+    return f
 
 
 def _sketch_kernel(codes_ref, len_ref, h_ref, hi_ref, lo_ref, pos_ref,
@@ -66,10 +97,10 @@ def _sketch_kernel(codes_ref, len_ref, h_ref, hi_ref, lo_ref, pos_ref,
     S = Lmax - k + 1
     lengths = len_ref[:]                                    # [B, 1] int32
 
-    z = jnp.zeros((B, S), jnp.uint32)
+    z = jnp.zeros((B, Lmax), jnp.uint32)
     f_hi, f_lo, r_hi, r_lo = z, z, z, z
     for j in range(k):
-        cj = codes[:, j:j + S]
+        cj = _shl(codes, j, np.uint32(0))   # base at position s + j
         comp = cj ^ np.uint32(3)
         foff = 2 * (k - 1 - j)
         roff = 2 * j
@@ -97,25 +128,23 @@ def _sketch_kernel(codes_ref, len_ref, h_ref, hi_ref, lo_ref, pos_ref,
     klo = jnp.where(fwd_smaller, f_lo, r_lo)
     h = _mix32(khi, klo)
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-    valid = (~palindrome) & (pos + k <= lengths)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, Lmax), 1)
+    valid = (~palindrome) & (pos + k <= lengths) & (pos < S)
     h = jnp.where(valid, h, U32_MAX)
     hs = s32(h)                                             # U32_MAX -> I32_MAX
 
     we = min(w, S)
-    W = _slide(hs, we, jnp.minimum, I32_MAX)                # min over window
+    W = _slide_l(hs, we, jnp.minimum, I32_MAX)              # min over window
     Wz = jnp.where(W == I32_MAX, I32_MIN, W)
-    # window-min maximum over all windows COVERING column i = sliding max of
-    # the left-extended window-min array
-    Wp = jnp.pad(Wz, ((0, 0), (we - 1, 0)), constant_values=I32_MIN)
-    Wmax = _slide(Wp, we, jnp.maximum, I32_MIN)[:, :S]
+    # window-min maximum over all windows COVERING column i
+    Wmax = _slide_r(Wz, we, jnp.maximum, I32_MIN)
     emitted = (Wmax == hs) & (hs != I32_MAX)
 
     # Hillis-Steele prefix sum of the emission mask (static log steps)
     order = emitted.astype(jnp.int32)
     d = 1
-    while d < S:
-        order = order + jnp.pad(order, ((0, 0), (d, 0)))[:, :S]
+    while d < Lmax:
+        order = order + _shr(order, d, np.int32(0))
         d *= 2
 
     nv_ref[:] = jnp.minimum(order[:, -1:], m)

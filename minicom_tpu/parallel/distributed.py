@@ -91,8 +91,12 @@ def allgather_ragged(arr: np.ndarray) -> np.ndarray:
     arr = np.ascontiguousarray(arr)
     dtype = arr.dtype
     b = arr.view(np.uint8).reshape(-1)
-    lens = np.asarray(mh.process_allgather(
-        np.array([len(b)], np.int32))).reshape(-1)
+    # lengths travel as two u32 words (lo, hi): device collectives are
+    # 32-bit-only here, but a rank payload can exceed 2^31 bytes on large
+    # inputs and must not silently wrap
+    lens2 = np.asarray(mh.process_allgather(np.array(
+        [len(b) & 0xFFFFFFFF, len(b) >> 32], np.uint32))).reshape(-1, 2)
+    lens = lens2[:, 0].astype(np.int64) | (lens2[:, 1].astype(np.int64) << 32)
     mx = max(int(lens.max()), 1)
     pad = np.zeros(mx, np.uint8)
     pad[: len(b)] = b

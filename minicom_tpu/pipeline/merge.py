@@ -28,6 +28,21 @@ import jax.numpy as jnp
 from minicom_tpu.config import ResolvedConfig
 from minicom_tpu.ops.sketch import sketch_windowed_gather
 from minicom_tpu.parallel import distributed as dist
+import os
+
+
+def _sketch_gather_fn():
+    """Pick the contig-sketch kernel: the Pallas VMEM-resident kernel on a
+    real TPU backend (parity-tested vs the XLA path,
+    tests/test_sketch.py::test_pallas_windowed_matches_xla), the XLA windowed
+    sketch elsewhere. MTC_PALLAS_SKETCH=0/1 overrides."""
+    import jax
+    env = os.environ.get("MTC_PALLAS_SKETCH")
+    use = (jax.default_backend() != "cpu") if env is None else env == "1"
+    if use:
+        from minicom_tpu.ops.pallas_sketch import sketch_windowed_gather_pallas
+        return sketch_windowed_gather_pallas
+    return sketch_windowed_gather
 from minicom_tpu.parallel.mesh import fetch, replicate
 from minicom_tpu.pipeline.cluster import ClusterSet, consensus_from_members
 
@@ -101,9 +116,13 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int = 0):
         i = j
     b0, b1 = dist.my_partition(np.array([p[3] * p[2] for p in plan]))
 
+    # device gathers index the flat stream with int32 (strictly-32-bit device
+    # code); a >2^31-element contig stream would wrap silently
+    assert len(cs.ref_flat) < 2**31, "contig stream exceeds int32 gather range"
     ref_pad = np.zeros(_pow2(max(len(cs.ref_flat), 1 << 14)), np.uint8)
     ref_pad[: len(cs.ref_flat)] = cs.ref_flat
     ref_dev = replicate(jnp.asarray(ref_pad))
+    sketch_fn = _sketch_gather_fn()
     outs = []
     for i, j, Lmax, nb_pad in plan[b0:b1]:
         batch = order[i:j]
@@ -112,7 +131,7 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int = 0):
         starts[:nb] = cs.ref_ptr[batch]
         lens_pad = np.zeros(nb_pad, np.int32)
         lens_pad[:nb] = lens[batch]
-        out = sketch_windowed_gather(
+        out = sketch_fn(
             ref_dev, jnp.asarray(starts.astype(np.int32)),
             jnp.asarray(lens_pad), k, min(w, Lmax - k + 1), m, Lmax)
         outs.append((batch, nb, out))

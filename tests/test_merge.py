@@ -44,19 +44,36 @@ def test_merge_reduces_clusters_and_grows_contigs(rng):
 
 
 def test_merge_roundtrip_members_match_reads(rng):
-    """After merging, every member decodes back to its read via the diff
-    path used by the serializer (mismatch budget only bounds the consensus
-    distance, not correctness)."""
+    """After merging, every member decodes back to its exact read through
+    the SAME diff encode/decode path the serializer uses."""
+    from minicom_tpu.native import diff_decode, diff_encode
+    from minicom_tpu.ops.pack import codes_to_ascii, revcomp_codes
+
     cls, cset, sg, cfg = _build(rng, n=500)
     merged = merge_contigs(cset, cfg, cls.codes_sub)
     L = merged.readlen
     sizes = merged.cluster_sizes()
     seg = np.repeat(np.arange(merged.n_clusters), sizes)
-    # reconstruct each member from ref window: ref[off:off+L] should be close
-    # to the oriented read; equality after applying stored diffs is exercised
-    # by the full roundtrip tests — here check window bounds only.
     assert (merged.mem_off >= 0).all()
     assert (merged.mem_off + L <= merged.ref_lengths()[seg]).all()
+
+    # encode each member as a diff vs its ref window, decode, compare
+    win = (merged.ref_ptr[seg] + merged.mem_off)[:, None] + np.arange(L)
+    ref_rows = codes_to_ascii(merged.ref_flat[win])
+    restored = cls.codes_sub[merged.mem_rid].copy()
+    restored[cls.n_mask[merged.mem_rid]] = 4
+    rc = revcomp_codes(restored)
+    oriented = np.where((merged.mem_dir == 1)[:, None], rc, restored)
+    blob = diff_encode(ref_rows, codes_to_ascii(oriented), 0)
+    got = diff_decode(blob, ref_rows, merged.n_members)
+    np.testing.assert_array_equal(got, codes_to_ascii(oriented))
+    # and orientation undoes exactly: decoded member == original read text
+    from minicom_tpu.ops.pack import ascii_to_codes
+    back = ascii_to_codes(got)
+    back = np.where((merged.mem_dir == 1)[:, None],
+                    revcomp_codes(back), back)
+    np.testing.assert_array_equal(codes_to_ascii(back),
+                                  codes_to_ascii(restored))
 
 
 def test_select_subset(rng):

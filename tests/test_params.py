@@ -56,9 +56,9 @@ def test_config_derived_defaults():
 
     # widening rule (preprocess.c:169-172)
     r = CompressorConfig().resolve(100, n_singletons=1000)
-    assert r.max_match == 66 and r.max_search == 2000
+    assert r.max_search == 2000
     r = CompressorConfig().resolve(100, n_singletons=6_000_000)
-    assert r.max_match == 50 and r.max_search == 500
+    assert r.max_search == 500
 
 
 def test_readlen_bounds():

@@ -141,3 +141,25 @@ def test_sketch_reads_dyn_matches_static(rng, k):
     b = [np.asarray(x) for x in sk.sketch_reads_dyn(jnp.asarray(codes), k)]
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def test_pallas_windowed_matches_xla(rng):
+    """The Pallas sketch kernel (interpret mode on CPU) is bit-identical to
+    the XLA windowed sketch it replaces on TPU (merge.sketch_contigs)."""
+    import jax.numpy as jnp
+    from minicom_tpu.ops.pallas_sketch import sketch_windowed_pallas
+    from minicom_tpu.ops.sketch import sketch_windowed
+
+    C, Lmax, k, w, m = 16, 256, 17, 11, 48
+    lengths = rng.integers(k + 1, Lmax + 1, C).astype(np.int32)
+    codes = rng.integers(0, 4, (C, Lmax), dtype=np.uint8)
+    ref = sketch_windowed(jnp.asarray(codes), jnp.asarray(lengths), k, w, m)
+    got = sketch_windowed_pallas(jnp.asarray(codes), jnp.asarray(lengths),
+                                 k, w, m, interpret=True)
+    names = ["h", "hi", "lo", "pos", "strand", "valid"]
+    rv = np.asarray(ref[5])
+    gv = np.asarray(got[5])
+    np.testing.assert_array_equal(rv, gv)
+    for name, r, g in zip(names, ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        np.testing.assert_array_equal(r[rv], g[gv], err_msg=name)
