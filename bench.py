@@ -90,6 +90,8 @@ def main():
         except Exception as e:  # pragma: no cover
             ref = {"ref_error": str(e)[:200]}
 
+    import resource
+    peak_rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
     mb = seq_bytes / 1e6
     result = {
         "metric": "encode_MBps",
@@ -103,6 +105,7 @@ def main():
         "ratio": round(seq_bytes / mtc_bytes, 3),
         "roundtrip_exact": bool(roundtrip_ok),
         "n_reads": n_reads,
+        "peak_rss_bytes_per_base": round(peak_rss / (seq_bytes - n_reads), 2),
         **ref,
     }
     print(json.dumps(result))

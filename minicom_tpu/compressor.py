@@ -8,6 +8,7 @@ decompress(): container -> streams -> mode-specific assembly.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -25,9 +26,25 @@ from minicom_tpu.stats import StageStats
 
 def compress(reads_path: str, out_path: str, cfg: CompressorConfig | None = None,
              reads_path2: str | None = None, stats: StageStats | None = None) -> dict:
-    """Compress FASTQ file(s) into a .mtc archive; returns summary dict."""
+    """Compress FASTQ file(s) into a .mtc archive; returns summary dict.
+
+    Set MTC_TRACE_DIR to capture a jax.profiler trace of the device stages
+    (viewable in TensorBoard/Perfetto — the SURVEY §5 profiling story)."""
     cfg = cfg or CompressorConfig()
     stats = stats or StageStats()
+    trace_dir = os.environ.get("MTC_TRACE_DIR")
+    if trace_dir:
+        import jax
+        jax.profiler.start_trace(trace_dir)
+    try:
+        return _compress(reads_path, out_path, cfg, reads_path2, stats)
+    finally:
+        if trace_dir:
+            import jax
+            jax.profiler.stop_trace()
+
+
+def _compress(reads_path, out_path, cfg, reads_path2, stats) -> dict:
 
     with stats.stage("load"):
         codes = fastq.read_fastq_codes(reads_path)

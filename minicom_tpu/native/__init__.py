@@ -94,6 +94,11 @@ def _load():
                                        ctypes.c_int64, ctypes.c_void_p]
         lib.set_num_threads.restype = None
         lib.set_num_threads.argtypes = [ctypes.c_int]
+        lib.score_overlaps.restype = None
+        lib.score_overlaps.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_int32, ctypes.c_void_p]
         _lib = lib
     else:
         _lib = False
@@ -292,6 +297,28 @@ def o1rc_decode(data: bytes, raw_len: int) -> bytes:
 
 def has_native() -> bool:
     return bool(_load())
+
+
+def score_overlaps(ref_flat: np.ndarray, ref_ptr: np.ndarray,
+                   a: np.ndarray, b: np.ndarray, d: np.ndarray,
+                   cap: int):
+    """match_pro mismatch scores for merge candidate pairs (None if the
+    native lib is unavailable; numpy fallback lives in pipeline/merge.py)."""
+    lib = _load()
+    if not lib:
+        return None
+    n = len(a)
+    out = np.empty(n, np.int32)
+    if n:
+        ref_flat = _as_c(ref_flat)
+        ref_ptr = np.ascontiguousarray(ref_ptr, np.int64)
+        a = np.ascontiguousarray(a, np.int64)
+        b = np.ascontiguousarray(b, np.int64)
+        d = np.ascontiguousarray(d, np.int64)
+        lib.score_overlaps(ref_flat.ctypes.data, ref_ptr.ctypes.data,
+                           a.ctypes.data, b.ctypes.data, d.ctypes.data,
+                           n, cap, out.ctypes.data)
+    return out
 
 
 def set_threads(n: int) -> None:

@@ -246,6 +246,25 @@ struct Ctr {  // bit counters, capped by halving
     }
 };
 
+// division-free probability/mix paths (hot: 2 per base on encode AND
+// decode). P0[n0][n1] is exactly Ctr::p0(); RECIP[d] is an over-estimate
+// reciprocal making num*RECIP[d] >> 40 an EXACT floor division for every
+// numerator this model can produce (< 2^18) — the coded bitstream is
+// bit-identical to the divide version.
+struct DnaTables {
+    uint16_t P0[60][60];
+    uint64_t RECIP[50];
+    DnaTables() {
+        for (int a = 0; a < 60; ++a)
+            for (int b = 0; b < 60; ++b)
+                P0[a][b] = (uint16_t)((((uint32_t)(8 * a + 1)) << 12) /
+                                      (8u * (a + b) + 2));
+        for (int d = 1; d < 50; ++d)
+            RECIP[d] = ((uint64_t)1 << 40) / d + 1;
+    }
+};
+static const DnaTables kDna;
+
 struct DnaModel {
     std::vector<Ctr> hi;   // 3 nodes per hashed order-16 context
     std::vector<Ctr> lo;   // 3 nodes per direct order-6 context
@@ -255,7 +274,8 @@ struct DnaModel {
     static inline uint32_t mix(const Ctr& h, const Ctr& l) {
         uint32_t w = 8u * (h.n0 + h.n1);
         if (w > 48) w = 48;
-        return (w * h.p0() + l.p0()) / (w + 1u);
+        uint32_t num = w * kDna.P0[h.n0][h.n1] + kDna.P0[l.n0][l.n1];
+        return (uint32_t)(((uint64_t)num * kDna.RECIP[w + 1]) >> 40);
     }
 
     inline void update_at(uint32_t ctx, uint32_t sym) {

@@ -288,6 +288,34 @@ int64_t realign_probe(
 
 }  // extern "C"
 
+
+// match_pro overlap scoring for the merge stage (kthread_cb.c:36-52):
+// mismatches of contig b shifted by d into contig a's coordinates over the
+// full overlap, early-exited at cap+1.
+extern "C" void score_overlaps(const uint8_t* ref_flat, const int64_t* ref_ptr,
+                    const int64_t* a, const int64_t* b, const int64_t* d,
+                    int64_t n, int32_t cap, int32_t* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t la = ref_ptr[a[i] + 1] - ref_ptr[a[i]];
+        int64_t lb = ref_ptr[b[i] + 1] - ref_ptr[b[i]];
+        int64_t lo = d[i] > 0 ? d[i] : 0;
+        int64_t hi = la < d[i] + lb ? la : d[i] + lb;
+        if (hi <= lo) { out[i] = cap + 1; continue; }
+        const uint8_t* pa = ref_flat + ref_ptr[a[i]] + lo;
+        const uint8_t* pb = ref_flat + ref_ptr[b[i]] + lo - d[i];
+        int32_t s = 0;
+        int64_t len = hi - lo;
+        for (int64_t j = 0; j < len; ++j) {
+            s += pa[j] != pb[j];
+            if (s > cap) { s = cap + 1; break; }
+        }
+        out[i] = s;
+    }
+}
+
 extern "C" void set_num_threads(int n) {
 #ifdef _OPENMP
     if (n > 0) omp_set_num_threads(n);

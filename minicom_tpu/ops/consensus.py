@@ -88,6 +88,25 @@ def member_diffs_packed_rid(packed: jnp.ndarray, codes_all: jnp.ndarray,
 
 
 @jax.jit
+def pack_parts(parts):
+    """Concatenate heterogeneous device outputs into ONE uint32 buffer for
+    a single d2h transfer (the tunneled chip charges ~30-50ms per fetched
+    array regardless of size). int16 arrays ride as bitcast pairs; callers
+    split the host buffer by the known static sizes."""
+    out = []
+    for p in parts:
+        if p.dtype == jnp.int16:
+            out.append(jax.lax.bitcast_convert_type(
+                p.reshape(-1, 2), jnp.uint32))
+        elif p.dtype == jnp.uint32:
+            out.append(p.reshape(-1))
+        else:
+            out.append(jax.lax.bitcast_convert_type(
+                p.reshape(-1), jnp.uint32))
+    return jnp.concatenate(out)
+
+
+@jax.jit
 def consensus_finalize(table: jnp.ndarray) -> jnp.ndarray:
     """[Tp, 4] counts -> 2-bit packed consensus words [Tp/16] uint32
     (argmax ties -> lowest code, the reference's strict-> rule)."""

@@ -90,8 +90,8 @@ def _slide_r(x, w, op, fill):
     return f
 
 
-def _sketch_kernel(codes_ref, len_ref, h_ref, hi_ref, lo_ref, pos_ref,
-                   str_ref, nv_ref, *, k: int, w: int, m: int):
+def _sketch_kernel(codes_ref, len_ref, hi_ref, lo_ref, meta_ref, nv_ref,
+                   *, k: int, w: int, m: int):
     codes = codes_ref[:].astype(jnp.uint32)
     B, Lmax = codes.shape
     S = Lmax - k + 1
@@ -150,22 +150,17 @@ def _sketch_kernel(codes_ref, len_ref, h_ref, hi_ref, lo_ref, pos_ref,
     nv_ref[:] = jnp.minimum(order[:, -1:], m)
     # selection by masked SUM (<= one hit per row; Mosaic has no unsigned
     # reductions, so uint32 payloads ride bit-exactly through int32)
-    h_i, khi_i, klo_i = (jax.lax.bitcast_convert_type(v, jnp.int32)
-                         for v in (h, khi, klo))
+    khi_i, klo_i = (jax.lax.bitcast_convert_type(v, jnp.int32)
+                    for v in (khi, klo))
+    meta = ((pos + (k - 1)) << 1) | strand          # end_pos << 1 | strand
     for i in range(m):
         sel = emitted & (order == i + 1)                    # <= one per row
         pick = lambda v: jnp.sum(jnp.where(sel, v, 0), axis=1, keepdims=True)
-        hit = pick(sel.astype(jnp.int32)) > 0
-        h_ref[:, i:i + 1] = jax.lax.bitcast_convert_type(
-            jnp.where(hit, pick(h_i), jax.lax.bitcast_convert_type(
-                jnp.full_like(hit, U32_MAX, dtype=jnp.uint32), jnp.int32)),
-            jnp.uint32)
         hi_ref[:, i:i + 1] = jax.lax.bitcast_convert_type(pick(khi_i),
                                                           jnp.uint32)
         lo_ref[:, i:i + 1] = jax.lax.bitcast_convert_type(pick(klo_i),
                                                           jnp.uint32)
-        pos_ref[:, i:i + 1] = pick(pos) + (k - 1)
-        str_ref[:, i:i + 1] = pick(strand)
+        meta_ref[:, i:i + 1] = pick(meta)
 
 
 @functools.partial(jax.jit,
@@ -173,7 +168,9 @@ def _sketch_kernel(codes_ref, len_ref, h_ref, hi_ref, lo_ref, pos_ref,
 def sketch_windowed_pallas(codes: jnp.ndarray, lengths: jnp.ndarray,
                            k: int, w: int, m: int, block: int = 8,
                            interpret: bool = False):
-    """Drop-in for ops.sketch.sketch_windowed (same outputs, same semantics).
+    """Pallas counterpart of sketch_windowed_gather_compact's body: returns
+    (kmer_hi, kmer_lo, meta = end_pos << 1 | strand, nvalid) — the
+    transfer-minimal output set the merge stage ships through the tunnel.
 
     codes [C, Lmax] uint8 with C % block == 0; lengths [C] int32.
     """
@@ -192,21 +189,18 @@ def sketch_windowed_pallas(codes: jnp.ndarray, lengths: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((block, m), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM) for _ in range(5)]
+                                memory_space=pltpu.VMEM) for _ in range(3)]
         + [pl.BlockSpec((block, 1), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)],
         out_shape=[
-            jax.ShapeDtypeStruct((C, m), jnp.uint32),   # h32
             jax.ShapeDtypeStruct((C, m), jnp.uint32),   # kmer hi
             jax.ShapeDtypeStruct((C, m), jnp.uint32),   # kmer lo
-            jax.ShapeDtypeStruct((C, m), jnp.int32),    # end pos
-            jax.ShapeDtypeStruct((C, m), jnp.int32),    # strand
+            jax.ShapeDtypeStruct((C, m), jnp.int32),    # end_pos << 1 | strand
             jax.ShapeDtypeStruct((C, 1), jnp.int32),    # n valid
         ],
     )(codes, lengths.reshape(C, 1).astype(jnp.int32))
-    h, hi, lo, pos, strand, nv = outs
-    valid = np.arange(m, dtype=np.int32)[None, :] < nv
-    return h, hi, lo, pos, strand.astype(jnp.int8), valid
+    hi, lo, meta, nv = outs
+    return hi, lo, meta, nv[:, 0]
 
 
 @functools.partial(jax.jit,
@@ -219,5 +213,10 @@ def sketch_windowed_gather_pallas(ref_flat: jnp.ndarray, starts: jnp.ndarray,
     idx = starts[:, None].astype(jnp.int32) \
         + np.arange(Lmax, dtype=np.int32)[None, :]
     codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
-    return sketch_windowed_pallas(codes, lengths, k, w, m,
-                                  interpret=interpret)
+    hi, lo, meta, nv = sketch_windowed_pallas(codes, lengths, k, w, m,
+                                              interpret=interpret)
+    # one u32 buffer, same layout as sketch_windowed_gather_compact
+    return jnp.concatenate([
+        hi.reshape(-1), lo.reshape(-1),
+        jax.lax.bitcast_convert_type(meta.reshape(-1), jnp.uint32),
+        jax.lax.bitcast_convert_type(nv, jnp.uint32)])

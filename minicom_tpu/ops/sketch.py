@@ -115,6 +115,19 @@ def sketch_reads_dyn_gather(codes_all: jnp.ndarray, rids: jnp.ndarray, k,
 
 
 @functools.partial(jax.jit, static_argnames=("k_max",))
+def sketch_reads_dyn_gather_packed(codes_all: jnp.ndarray, rids: jnp.ndarray,
+                                   k, k_max: int = 31):
+    """sketch_reads_dyn_gather with ONE packed output [3, N] uint32:
+    (kmer_hi, kmer_lo, end_pos << 1 | strand). The tunneled chip charges
+    ~30-50ms per fetched ARRAY regardless of size, so one array per batch
+    beats five; the h32 ranking hash never leaves the device."""
+    h, hi, lo, pos, strand = _sketch_dyn_body(codes_all[rids], k, k_max)
+    meta = ((pos.astype(jnp.uint32) << np.uint32(1))
+            | strand.astype(jnp.uint32))
+    return jnp.stack([hi, lo, meta])
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
 def sketch_reads_dyn(codes: jnp.ndarray, k, k_max: int = 31):
     """Whole-read canonical minimizer with k as a TRACED scalar.
 
@@ -215,6 +228,26 @@ def sketch_windowed_gather(ref_flat: jnp.ndarray, starts: jnp.ndarray,
     idx = starts[:, None].astype(jnp.int32) + np.arange(Lmax, dtype=np.int32)[None, :]
     codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
     return _sketch_windowed_body(codes, lengths, k, w, m)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "m", "Lmax"))
+def sketch_windowed_gather_compact(ref_flat: jnp.ndarray, starts: jnp.ndarray,
+                                   lengths: jnp.ndarray, k: int, w: int,
+                                   m: int, Lmax: int):
+    """sketch_windowed_gather with transfer-minimal output for the merge
+    stage: ONE uint32 buffer [3*C*m + C] = kmer_hi | kmer_lo |
+    (end_pos << 1 | strand) | nvalid, fetched in a single d2h transfer
+    (the tunnel charges per array; the h32 ranking hash never ships)."""
+    idx = starts[:, None].astype(jnp.int32) + np.arange(Lmax, dtype=np.int32)[None, :]
+    codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
+    h, hi, lo, pos, strand, valid = _sketch_windowed_body(
+        codes, lengths, k, w, m)
+    meta = (pos << 1) | strand.astype(jnp.int32)
+    nv = valid.sum(axis=1, dtype=jnp.int32)
+    return jnp.concatenate([
+        hi.reshape(-1), lo.reshape(-1),
+        jax.lax.bitcast_convert_type(meta.reshape(-1), jnp.uint32),
+        jax.lax.bitcast_convert_type(nv, jnp.uint32)])
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "m"))

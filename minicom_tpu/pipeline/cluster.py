@@ -28,10 +28,10 @@ import numpy as np
 
 from minicom_tpu.config import ResolvedConfig
 from minicom_tpu.ops.consensus import (consensus_finalize, consensus_fused_rid,
-                                       member_diffs_packed_rid,
+                                       member_diffs_packed_rid, pack_parts,
                                        scatter_counts_rid)
 from minicom_tpu.ops.pack import unpack_2bit_words
-from minicom_tpu.ops.sketch import sketch_reads_dyn_gather
+from minicom_tpu.ops.sketch import sketch_reads_dyn_gather_packed
 from minicom_tpu.parallel import distributed as dist
 from minicom_tpu.parallel.mesh import fetch, replicate, shard_rows
 
@@ -110,7 +110,8 @@ def _pow4(n: int) -> int:
 
 def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray,
                            rids: np.ndarray, dirs: np.ndarray,
-                           n_segments: int, codes_dev):
+                           n_segments: int, codes_dev,
+                           want_ref: bool = True, want_diffs: bool = True):
     """Batched consensus over CSR-grouped members (seg_id sorted ascending).
 
     Members are (rid, dir) references into the DEVICE-RESIDENT read store
@@ -147,15 +148,20 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
     my_ref, my_diffs = _consensus_chunk(
         L, base_all_lo=(ref_ptr[seg_id[m0:m1]] - col0).astype(np.int32),
         offsets=offsets[m0:m1], rids=rids[m0:m1], dirs=dirs[m0:m1],
-        span=col1 - col0, codes_dev=codes_dev)
-    ref_flat = dist.allgather_ragged(my_ref)
-    diffs = dist.allgather_ragged(my_diffs)
+        span=col1 - col0, codes_dev=codes_dev,
+        want_ref=want_ref, want_diffs=want_diffs)
+    ref_flat = dist.allgather_ragged(my_ref) if want_ref else None
+    diffs = dist.allgather_ragged(my_diffs) if want_diffs else None
     return ref_flat, ref_ptr, diffs
 
 
-def _consensus_chunk(L, base_all_lo, offsets, rids, dirs, span, codes_dev):
+def _consensus_chunk(L, base_all_lo, offsets, rids, dirs, span, codes_dev,
+                     want_ref=True, want_diffs=True):
     """Consensus + member diffs for one contiguous column span (one rank's
-    share). Fixed batch shapes; see consensus_from_members."""
+    share). Fixed batch shapes; see consensus_from_members. Skipping an
+    unwanted output (want_ref / want_diffs) skips its device->host transfer
+    — the cluster rounds use only diffs on the ejection pass and only the
+    consensus on the survivor pass, and the tunnel charges ~33ms/MB."""
     M = len(base_all_lo)
     if M == 0:
         return np.zeros(0, np.uint8), np.zeros(0, np.int32)
@@ -171,11 +177,19 @@ def _consensus_chunk(L, base_all_lo, offsets, rids, dirs, span, codes_dev):
         rid[:M] = rids
         dr = np.zeros(step, np.int8)
         dr[:M] = dirs
-        packed, diffs = fetch(consensus_fused_rid(
+        packed, diffs = consensus_fused_rid(
             codes_dev, shard_rows(jnp.asarray(rid)), shard_rows(jnp.asarray(dr)),
-            shard_rows(jnp.asarray(base)), shard_rows(jnp.asarray(offs)), Tp))
-        return (unpack_2bit_words(packed, span),
-                diffs[:M].astype(np.int32))
+            shard_rows(jnp.asarray(base)), shard_rows(jnp.asarray(offs)), Tp)
+        want = ([packed] if want_ref else []) + ([diffs] if want_diffs else [])
+        buf = fetch([pack_parts(want)])[0]  # ONE array through the tunnel
+        np_ref = Tp // 16
+        ref = dfs = None
+        if want_ref:
+            ref = unpack_2bit_words(buf[:np_ref], span)
+        if want_diffs:
+            off0 = np_ref if want_ref else 0
+            dfs = buf[off0:off0 + step // 2].view(np.int16)[:M].astype(np.int32)
+        return ref, dfs
     table = jnp.zeros((Tp, 4), jnp.int32)
     chunks = []
     for s in range(0, M, step):
@@ -194,13 +208,20 @@ def _consensus_chunk(L, base_all_lo, offsets, rids, dirs, span, codes_dev):
         table = scatter_counts_rid(table, codes_dev, *chunk)
     packed = consensus_finalize(table)
     diff_parts = [member_diffs_packed_rid(packed, codes_dev, *c)
-                  for c in chunks]  # dispatch all, then one batched fetch
-    packed, *diff_parts = fetch([packed, *diff_parts])
-    diffs = np.empty(M, np.int32)
-    for i, s in enumerate(range(0, M, step)):
-        t = min(s + step, M)
-        diffs[s:t] = diff_parts[i][: t - s]
-    ref_flat = unpack_2bit_words(packed, span)
+                  for c in chunks] if want_diffs else []
+    want = ([packed] if want_ref else []) + diff_parts
+    buf = fetch([pack_parts(want)])[0]  # ONE array through the tunnel
+    np_ref = Tp // 16
+    off0 = np_ref if want_ref else 0
+    ref_flat = unpack_2bit_words(buf[:np_ref], span) if want_ref else None
+    diffs = None
+    if want_diffs:
+        diffs = np.empty(M, np.int32)
+        for i, s in enumerate(range(0, M, step)):
+            t = min(s + step, M)
+            part = buf[off0 + i * (step // 2):
+                       off0 + (i + 1) * (step // 2)].view(np.int16)
+            diffs[s:t] = part[: t - s]
     return ref_flat, diffs
 
 
@@ -226,16 +247,19 @@ def _sketch(pending: np.ndarray, codes_dev, k: int, L: int):
         t = min(s + step, n)
         rid = np.zeros(step, np.int32)
         rid[: t - s] = mine[s:t]
-        outs.append(sketch_reads_dyn_gather(
+        outs.append(sketch_reads_dyn_gather_packed(
             codes_dev, shard_rows(jnp.asarray(rid)), k))
-    flat = fetch([x for o in outs for x in o])
-    outs_h = [flat[i:i + 5] for i in range(0, len(flat), 5)]
-    parts = [tuple(x[: min(s + step, n) - s] for x in o)
-             for s, o in zip(range(0, n, step), outs_h)]
+    # one packed [3, step] u32 array per batch (per-array fetch latency is
+    # the tunnel's scarce resource; the h32 hash never leaves the device)
+    packs = fetch(outs)
+    parts = [(p[0, :min(s + step, n) - s], p[1, :min(s + step, n) - s],
+              (p[2, :min(s + step, n) - s] >> 1).astype(np.int32),
+              (p[2, :min(s + step, n) - s] & 1).astype(np.int8))
+             for s, p in zip(range(0, n, step), packs)]
     z32, z8 = np.zeros(0, np.uint32), np.zeros(0, np.int8)
     khi, klo, pos, strand = (
         np.concatenate([p[i] for p in parts]) if parts else z
-        for i, z in ((1, z32), (2, z32), (3, z32.astype(np.int32)), (4, z8)))
+        for i, z in ((0, z32), (1, z32), (2, z32.astype(np.int32)), (3, z8)))
     khi, klo, pos, strand = (dist.allgather_ragged(x)
                              for x in (khi, klo, pos, strand))
     key = (khi.astype(np.uint64) << np.uint64(32)) | klo.astype(np.uint64)
@@ -332,7 +356,7 @@ def _one_round(codes_dev, rids, h, mpos, strand, e, L):
     off = (mpos2[first_idx][seg2] - mpos2).astype(np.int32)
 
     _ref, _rptr, diffs = consensus_from_members(
-        L, seg2, off, rids2, strand2, n2, codes_dev)
+        L, seg2, off, rids2, strand2, n2, codes_dev, want_ref=False)
 
     surv = diffs <= e
     ejected = rids2[~surv]
@@ -358,7 +382,8 @@ def _one_round(codes_dev, rids, h, mpos, strand, e, L):
     offF = (offF - min_off[segF]).astype(np.int32)
 
     refF, rptrF, _ = consensus_from_members(
-        L, segF, offF, rids2[final], strand2[final], nF, codes_dev)
+        L, segF, offF, rids2[final], strand2[final], nF, codes_dev,
+        want_diffs=False)
     cptr = np.zeros(nF + 1, np.int64)
     np.cumsum(np.bincount(segF, minlength=nF), out=cptr[1:])
     cs = ClusterSet(L, rids2[final], offF, strand2[final], cptr, refF, rptrF)

@@ -45,7 +45,7 @@ class EncodeInput:
     order: bool
     paired: bool
     codes_sub: np.ndarray         # [N, L] codes, N substituted
-    n_mask: np.ndarray            # [N, L] bool
+    n_mask: "object"              # SparseNMask: [rids] -> dense bool rows
     all_a: np.ndarray
     all_t: np.ndarray
     all_n: np.ndarray

@@ -26,7 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from minicom_tpu.config import ResolvedConfig
-from minicom_tpu.ops.sketch import sketch_windowed_gather
+from minicom_tpu.ops.sketch import sketch_windowed_gather_compact
 from minicom_tpu.parallel import distributed as dist
 import os
 
@@ -35,14 +35,27 @@ def _sketch_gather_fn():
     """Pick the contig-sketch kernel: the Pallas VMEM-resident kernel on a
     real TPU backend (parity-tested vs the XLA path,
     tests/test_sketch.py::test_pallas_windowed_matches_xla), the XLA windowed
-    sketch elsewhere. MTC_PALLAS_SKETCH=0/1 overrides."""
+    sketch elsewhere. Both return the transfer-minimal (hi, lo, meta, nv)
+    set. MTC_PALLAS_SKETCH=0/1 overrides."""
     import jax
     env = os.environ.get("MTC_PALLAS_SKETCH")
     use = (jax.default_backend() != "cpu") if env is None else env == "1"
     if use:
         from minicom_tpu.ops.pallas_sketch import sketch_windowed_gather_pallas
         return sketch_windowed_gather_pallas
-    return sketch_windowed_gather
+    return sketch_windowed_gather_compact
+
+
+def _batch_m(Lmax: int, k: int, w: int) -> int:
+    """Probe slots per contig for an Lmax bucket: expected emission density
+    is ~2S/(w+1) (+ties), so short-contig batches — the bulk of the rows —
+    need far fewer than _RANK_CAP slots. Fewer slots = fewer padded bytes
+    through the tunnel. Deterministic per bucket, so archives stay
+    device/process-count independent (the batch plan is itself a pure
+    function of the contig lengths)."""
+    S = max(Lmax - k + 1, 1)
+    m = min(_RANK_CAP, max(8, int(2.2 * S / (w + 1)) + 8))
+    return min(_RANK_CAP, (m + 7) & ~7)
 from minicom_tpu.parallel.mesh import fetch, replicate
 from minicom_tpu.pipeline.cluster import ClusterSet, consensus_from_members
 
@@ -74,21 +87,21 @@ def _select(cs: ClusterSet, idx: np.ndarray) -> ClusterSet:
                       cs.mem_dir[mem_idx], cptr, cs.ref_flat[ref_idx], rptr)
 
 
-def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int = 0):
+def sketch_contigs(cs: ClusterSet, k: int, w: int):
     """Windowed minimizers of every contig, length-bucketed batches.
 
     The flat contig stream is uploaded to device ONCE (pow2-padded); each
     batch then ships only 8 bytes/contig (start, length) and the padded
-    [rows, Lmax] code matrix is built by an on-device gather
-    (sketch_windowed_gather) — contig bytes never cross the host link twice.
+    [rows, Lmax] code matrix is built by an on-device gather — contig bytes
+    never cross the host link twice. Slot count per batch scales with the
+    bucket's Lmax (_batch_m).
 
     Returns flat arrays (key64, contig_id, pos, strand, rank) over all valid
-    entries, at most max(m, _RANK_CAP) per contig in position order; ``rank``
-    is the entry's position-ordinal within its contig, so callers can select
-    the reference's "first m indexed" subset (kthread_bucket.c:451-475)
-    while PROBING with every entry (kthread_cb.c:267-274).
+    entries, up to _RANK_CAP per contig in position order; ``rank`` is the
+    entry's position-ordinal within its contig, so callers can select the
+    reference's "first m indexed" subset (kthread_bucket.c:451-475) while
+    PROBING with every entry (kthread_cb.c:267-274).
     """
-    m = max(m, _RANK_CAP)
     lens = cs.ref_lengths()
     C = cs.n_clusters
     if C == 0 or len(cs.ref_flat) == 0:
@@ -131,27 +144,31 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int, m: int = 0):
         starts[:nb] = cs.ref_ptr[batch]
         lens_pad = np.zeros(nb_pad, np.int32)
         lens_pad[:nb] = lens[batch]
+        mb = _batch_m(Lmax, k, w)
         out = sketch_fn(
             ref_dev, jnp.asarray(starts.astype(np.int32)),
-            jnp.asarray(lens_pad), k, min(w, Lmax - k + 1), m, Lmax)
-        outs.append((batch, nb, out))
+            jnp.asarray(lens_pad), k, min(w, Lmax - k + 1), mb, Lmax)
+        outs.append((batch, nb, nb_pad, mb, out))
     keys, cids, poss, dirs, ranks = [[np.zeros(0, d)] for d in
                                      (np.uint64, np.int64, np.int32,
                                       np.int8, np.int32)]
-    flat = fetch([x for (_, _, out) in outs for x in out])
-    outs = [(b, nb, flat[i * 6:i * 6 + 6])
-            for i, (b, nb, _) in enumerate(outs)]
-    for batch, nb, out in outs:  # all dispatched + fetched in one batch
-        h, hi, lo, pos, strand, valid = out
-        v = valid[:nb]
-        key = (hi[:nb].astype(np.uint64) << np.uint64(32)) | lo[:nb].astype(np.uint64)
+    flat = fetch([out for (_, _, _, _, out) in outs])
+    for (batch, nb, nb_pad, mb, _), buf in zip(outs, flat):
+        # buf layout: hi | lo | meta | nv (sketch_windowed_gather_compact)
+        cm = nb_pad * mb
+        hi = buf[:cm].reshape(nb_pad, mb)[:nb]
+        lo = buf[cm:2 * cm].reshape(nb_pad, mb)[:nb]
+        meta = buf[2 * cm:3 * cm].view(np.int32).reshape(nb_pad, mb)[:nb]
+        nv = buf[3 * cm:].view(np.int32)[:nb]
+        v = (np.arange(mb, dtype=np.int32)[None, :] < nv[:, None])
+        key = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
         cid = np.broadcast_to(batch[:, None], v.shape)
-        rank = np.broadcast_to(np.arange(v.shape[1], dtype=np.int32)[None, :],
+        rank = np.broadcast_to(np.arange(mb, dtype=np.int32)[None, :],
                                v.shape)
         keys.append(key[v])
         cids.append(cid[v])
-        poss.append(pos[:nb][v].astype(np.int32))
-        dirs.append(strand[:nb][v])
+        poss.append((meta[v] >> 1).astype(np.int32))
+        dirs.append((meta[v] & 1).astype(np.int8))
         ranks.append(rank[v])
     return (dist.allgather_ragged(np.concatenate(keys)),
             dist.allgather_ragged(np.concatenate(cids)),
@@ -201,7 +218,12 @@ def _candidate_pairs(key, cid, pos, strand, rank, m, stats=None):
 def _score_pairs(cs: ClusterSet, a, b, d, cap: int):
     """match_pro (kthread_cb.c:36-52): mismatches over the full overlap of
     contig b shifted by d into contig a's coordinates. Returns int32 scores
-    (cap+1 when the overlap is empty)."""
+    (cap+1 when the overlap is empty). Native OpenMP path with a vectorized
+    numpy fallback."""
+    from minicom_tpu import native
+    scores = native.score_overlaps(cs.ref_flat, cs.ref_ptr, a, b, d, cap)
+    if scores is not None:
+        return scores
     lens = cs.ref_lengths()
     la, lb = lens[a], lens[b]
     lo = np.maximum(0, d)
@@ -241,18 +263,41 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
             scores = _score_pairs(cset, a, b, d, cfg.cb_threshold)
             ok = scores <= cfg.cb_threshold
             a, b, d, scores = a[ok], b[ok], d[ok], scores[ok]
-            # deterministic greedy matching, best score first
+            # deterministic matching, best score first: multi-pass
+            # first-seen selection (each pass takes every candidate that is
+            # the earliest remaining entry for BOTH its endpoints) — a
+            # vectorized maximal matching replacing the reference's trylock
+            # race AND the former per-candidate Python loop
             order = np.lexsort((d, b, a, scores))
+            a_s, b_s, d_s = a[order], b[order], d[order]
             matched = np.zeros(cset.n_clusters, bool)
             pa, pb, pd = [], [], []
-            for i in order:
-                if not matched[a[i]] and not matched[b[i]]:
-                    matched[a[i]] = matched[b[i]] = True
-                    pa.append(a[i]); pb.append(b[i]); pd.append(d[i])
-            n_merges = len(pa)
+            live = np.arange(len(a_s))
+            while len(live):
+                aa, bb = a_s[live], b_s[live]
+                ok = ~matched[aa] & ~matched[bb]
+                live = live[ok]
+                if not len(live):
+                    break
+                aa, bb = a_s[live], b_s[live]
+                # a candidate wins the pass iff it is the earliest remaining
+                # candidate touching BOTH its contigs in either role
+                idxs = np.arange(len(live))
+                node_first = np.full(cset.n_clusters, len(live), np.int64)
+                np.minimum.at(node_first, aa, idxs)
+                np.minimum.at(node_first, bb, idxs)
+                take = (node_first[aa] == idxs) & (node_first[bb] == idxs)
+                if not take.any():
+                    break
+                sel = live[take]
+                pa.append(a_s[sel]); pb.append(b_s[sel]); pd.append(d_s[sel])
+                matched[a_s[sel]] = matched[b_s[sel]] = True
+                live = live[~take]
+            n_merges = sum(len(x) for x in pa)
             if n_merges:
                 cset, kept_old, n_pairs = _apply_merges(
-                    cset, np.array(pa), np.array(pb), np.array(pd), codes_dev)
+                    cset, np.concatenate(pa), np.concatenate(pb),
+                    np.concatenate(pd), codes_dev)
                 # Incremental re-sketch: untouched contigs keep their cached
                 # minimizers (per-contig sketches are batch-independent);
                 # only the n_pairs merged contigs — appended after the
@@ -315,7 +360,7 @@ def _apply_merges(cs: ClusterSet, a, b, d, codes_dev):
                           np.repeat(shift_b, pair_sizes)))
 
     ref_flat, ref_ptr, _ = consensus_from_members(
-        L, seg, mem_off, mem_rid, mem_dir, P, codes_dev)
+        L, seg, mem_off, mem_rid, mem_dir, P, codes_dev, want_diffs=False)
     merged = ClusterSet(L, mem_rid, mem_off.astype(np.int32), mem_dir,
                         cptr, ref_flat, ref_ptr)
     return ClusterSet.concat([keep, merged]), kept_old, P

@@ -25,8 +25,14 @@ class StageStats:
         self.counters[key] = value
 
     def summary(self) -> dict:
-        return {"timings_s": {k: round(v, 4) for k, v in self.timings.items()},
-                **self.counters}
+        out = {"timings_s": {k: round(v, 4) for k, v in self.timings.items()},
+               **self.counters}
+        nbytes = self.counters.get("input_bytes")
+        if nbytes:
+            out["stage_MBps"] = {
+                k: round(nbytes / v / 1e6, 2)
+                for k, v in self.timings.items() if v > 1e-9}
+        return out
 
     def dump(self) -> str:
         return json.dumps(self.summary(), sort_keys=True)

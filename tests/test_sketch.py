@@ -144,22 +144,25 @@ def test_sketch_reads_dyn_matches_static(rng, k):
 
 
 def test_pallas_windowed_matches_xla(rng):
-    """The Pallas sketch kernel (interpret mode on CPU) is bit-identical to
-    the XLA windowed sketch it replaces on TPU (merge.sketch_contigs)."""
+    """The Pallas sketch kernel (interpret mode on CPU) emits the same
+    (kmer, position, strand, count) set as the XLA windowed sketch it
+    replaces on TPU (merge.sketch_contigs)."""
     import jax.numpy as jnp
     from minicom_tpu.ops.pallas_sketch import sketch_windowed_pallas
     from minicom_tpu.ops.sketch import sketch_windowed
 
-    C, Lmax, k, w, m = 16, 256, 17, 11, 48
-    lengths = rng.integers(k + 1, Lmax + 1, C).astype(np.int32)
-    codes = rng.integers(0, 4, (C, Lmax), dtype=np.uint8)
-    ref = sketch_windowed(jnp.asarray(codes), jnp.asarray(lengths), k, w, m)
-    got = sketch_windowed_pallas(jnp.asarray(codes), jnp.asarray(lengths),
-                                 k, w, m, interpret=True)
-    names = ["h", "hi", "lo", "pos", "strand", "valid"]
-    rv = np.asarray(ref[5])
-    gv = np.asarray(got[5])
-    np.testing.assert_array_equal(rv, gv)
-    for name, r, g in zip(names, ref, got):
-        r, g = np.asarray(r), np.asarray(g)
-        np.testing.assert_array_equal(r[rv], g[gv], err_msg=name)
+    for C, Lmax, k, w, m in [(16, 256, 17, 11, 48), (8, 512, 31, 19, 24)]:
+        lengths = rng.integers(k + 1, Lmax + 1, C).astype(np.int32)
+        codes = rng.integers(0, 4, (C, Lmax), dtype=np.uint8)
+        h, hi, lo, pos, strand, valid = (
+            np.asarray(x) for x in sketch_windowed(
+                jnp.asarray(codes), jnp.asarray(lengths), k, w, m))
+        ghi, glo, gmeta, gnv = (np.asarray(x) for x in sketch_windowed_pallas(
+            jnp.asarray(codes), jnp.asarray(lengths), k, w, m,
+            interpret=True))
+        np.testing.assert_array_equal(valid.sum(axis=1), gnv)
+        gv = np.arange(m)[None, :] < gnv[:, None]
+        np.testing.assert_array_equal(hi[valid], ghi[gv])
+        np.testing.assert_array_equal(lo[valid], glo[gv])
+        np.testing.assert_array_equal(
+            (pos[valid] << 1) | strand[valid], gmeta[gv])
