@@ -87,6 +87,32 @@ def member_diffs_packed_rid(packed: jnp.ndarray, codes_all: jnp.ndarray,
     return (ref != codes).sum(axis=1).astype(jnp.int16)
 
 
+# ---- packed-upload variants -------------------------------------------------
+# The tunneled chip charges ~30ms latency per host->device array exactly as
+# it does per device->host array, so member chunks travel as ONE [n, 4, step]
+# int32 upload: rows are (rid, dir, col_base, offset).
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def scatter_counts_rid_u(table: jnp.ndarray, codes_all: jnp.ndarray,
+                         u: jnp.ndarray) -> jnp.ndarray:
+    return scatter_counts_rid(table, codes_all, u[0], u[1].astype(jnp.int8),
+                              u[2], u[3])
+
+
+@jax.jit
+def member_diffs_packed_rid_u(packed: jnp.ndarray, codes_all: jnp.ndarray,
+                              u: jnp.ndarray) -> jnp.ndarray:
+    return member_diffs_packed_rid(packed, codes_all, u[0],
+                                   u[1].astype(jnp.int8), u[2], u[3])
+
+
+@functools.partial(jax.jit, static_argnames=("total_cols",))
+def consensus_fused_rid_u(codes_all: jnp.ndarray, u: jnp.ndarray,
+                          total_cols: int):
+    return consensus_fused_rid(codes_all, u[0], u[1].astype(jnp.int8),
+                               u[2], u[3], total_cols)
+
+
 @jax.jit
 def pack_parts(parts):
     """Concatenate heterogeneous device outputs into ONE uint32 buffer for

@@ -66,6 +66,17 @@ def shard_rows(arr):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+def shard_last(arr):
+    """device_put with the LAST axis sharded over the active mesh (no-op
+    without one) — for packed uploads whose leading axes are chunk/field
+    indices and whose trailing axis is the member batch."""
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return arr
+    spec = P(*([None] * (arr.ndim - 1)), "d")
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
 def fetch(arrays):
     """Batched device->host transfer: start async copies for EVERY array,
     then materialize them. Through the tunneled chip a blocking sync costs

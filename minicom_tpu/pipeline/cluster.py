@@ -27,13 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from minicom_tpu.config import ResolvedConfig
-from minicom_tpu.ops.consensus import (consensus_finalize, consensus_fused_rid,
-                                       member_diffs_packed_rid, pack_parts,
-                                       scatter_counts_rid)
+from minicom_tpu.ops.consensus import (consensus_finalize,
+                                       consensus_fused_rid_u,
+                                       member_diffs_packed_rid_u, pack_parts,
+                                       scatter_counts_rid_u)
 from minicom_tpu.ops.pack import unpack_2bit_words
 from minicom_tpu.ops.sketch import sketch_reads_dyn_gather_packed
 from minicom_tpu.parallel import distributed as dist
-from minicom_tpu.parallel.mesh import fetch, replicate, shard_rows
+from minicom_tpu.parallel.mesh import fetch, replicate, shard_last, shard_rows
 
 
 @dataclasses.dataclass
@@ -158,70 +159,54 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
 def _consensus_chunk(L, base_all_lo, offsets, rids, dirs, span, codes_dev,
                      want_ref=True, want_diffs=True):
     """Consensus + member diffs for one contiguous column span (one rank's
-    share). Fixed batch shapes; see consensus_from_members. Skipping an
-    unwanted output (want_ref / want_diffs) skips its device->host transfer
-    — the cluster rounds use only diffs on the ejection pass and only the
-    consensus on the survivor pass, and the tunnel charges ~33ms/MB."""
+    share). Fixed batch shapes; see consensus_from_members.
+
+    The tunnel charges ~30ms latency per array in EACH direction, so the
+    whole member set travels as ONE [n_chunks, 4, step] upload (rows: rid,
+    dir, col_base, offset) and the outputs return as ONE packed uint32
+    buffer; skipping an unwanted output (want_ref / want_diffs) skips its
+    share of the transfer — the cluster rounds use only diffs on the
+    ejection pass and only the consensus on the survivor pass."""
     M = len(base_all_lo)
     if M == 0:
         return np.zeros(0, np.uint8), np.zeros(0, np.int32)
     Tp = _pow4(max(span, 1))
     small, big = 1 << 13, 1 << 17
     step = small if M <= small else big
-    if M <= step:  # single block: one fused dispatch instead of three
-        base = np.full(step, Tp, np.int32)
-        base[:M] = base_all_lo
-        offs = np.zeros(step, np.int32)
-        offs[:M] = offsets
-        rid = np.zeros(step, np.int32)
-        rid[:M] = rids
-        dr = np.zeros(step, np.int8)
-        dr[:M] = dirs
-        packed, diffs = consensus_fused_rid(
-            codes_dev, shard_rows(jnp.asarray(rid)), shard_rows(jnp.asarray(dr)),
-            shard_rows(jnp.asarray(base)), shard_rows(jnp.asarray(offs)), Tp)
-        want = ([packed] if want_ref else []) + ([diffs] if want_diffs else [])
-        buf = fetch([pack_parts(want)])[0]  # ONE array through the tunnel
-        np_ref = Tp // 16
-        ref = dfs = None
-        if want_ref:
-            ref = unpack_2bit_words(buf[:np_ref], span)
-        if want_diffs:
-            off0 = np_ref if want_ref else 0
-            dfs = buf[off0:off0 + step // 2].view(np.int16)[:M].astype(np.int32)
-        return ref, dfs
-    table = jnp.zeros((Tp, 4), jnp.int32)
-    chunks = []
-    for s in range(0, M, step):
-        t = min(s + step, M)
-        base = np.full(step, Tp, np.int32)
-        base[: t - s] = base_all_lo[s:t]
-        offs = np.zeros(step, np.int32)
-        offs[: t - s] = offsets[s:t]
-        rid = np.zeros(step, np.int32)
-        rid[: t - s] = rids[s:t]
-        dr = np.zeros(step, np.int8)
-        dr[: t - s] = dirs[s:t]
-        chunk = (shard_rows(jnp.asarray(rid)), shard_rows(jnp.asarray(dr)),
-                 shard_rows(jnp.asarray(base)), shard_rows(jnp.asarray(offs)))
-        chunks.append(chunk)
-        table = scatter_counts_rid(table, codes_dev, *chunk)
-    packed = consensus_finalize(table)
-    diff_parts = [member_diffs_packed_rid(packed, codes_dev, *c)
-                  for c in chunks] if want_diffs else []
-    want = ([packed] if want_ref else []) + diff_parts
-    buf = fetch([pack_parts(want)])[0]  # ONE array through the tunnel
+    n_chunks = (M + step - 1) // step
+    T = n_chunks * step
+    rid_f = np.zeros(T, np.int32)
+    rid_f[:M] = rids
+    dr_f = np.zeros(T, np.int32)
+    dr_f[:M] = dirs
+    base_f = np.full(T, Tp, np.int32)  # padding members scatter out of range
+    base_f[:M] = base_all_lo
+    off_f = np.zeros(T, np.int32)
+    off_f[:M] = offsets
+    u = np.ascontiguousarray(
+        np.stack([rid_f, dr_f, base_f, off_f])
+        .reshape(4, n_chunks, step).transpose(1, 0, 2))
+    u_dev = shard_last(jnp.asarray(u))  # ONE upload
+
+    if n_chunks == 1:  # one fused dispatch
+        packed, diffs = consensus_fused_rid_u(codes_dev, u_dev[0], Tp)
+        diff_parts = [diffs]
+    else:
+        table = jnp.zeros((Tp, 4), jnp.int32)
+        for i in range(n_chunks):
+            table = scatter_counts_rid_u(table, codes_dev, u_dev[i])
+        packed = consensus_finalize(table)
+        diff_parts = [member_diffs_packed_rid_u(packed, codes_dev, u_dev[i])
+                      for i in range(n_chunks)] if want_diffs else []
+    want = ([packed] if want_ref else []) + (diff_parts if want_diffs else [])
+    buf = fetch([pack_parts(want)])[0]  # ONE download
     np_ref = Tp // 16
     off0 = np_ref if want_ref else 0
     ref_flat = unpack_2bit_words(buf[:np_ref], span) if want_ref else None
     diffs = None
     if want_diffs:
-        diffs = np.empty(M, np.int32)
-        for i, s in enumerate(range(0, M, step)):
-            t = min(s + step, M)
-            part = buf[off0 + i * (step // 2):
-                       off0 + (i + 1) * (step // 2)].view(np.int16)
-            diffs[s:t] = part[: t - s]
+        diffs = buf[off0:off0 + n_chunks * (step // 2)].view(np.int16)
+        diffs = diffs[:M].astype(np.int32)
     return ref_flat, diffs
 
 
