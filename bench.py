@@ -44,13 +44,31 @@ def make_dataset(path: str, n_reads: int, L: int = 100,
     return n_reads * (L + 1)
 
 
+def _check_and_xz(fq: str, dec: str, q) -> None:
+    a = sorted(open(fq, "rb").read().splitlines()[1::4])
+    b = sorted(open(dec, "rb").read().splitlines())
+    raw_seq = b"\n".join(a) + b"\n"
+    xz_bytes = len(lzma.compress(raw_seq, preset=9 | lzma.PRESET_EXTREME))
+    q.put((a == b, xz_bytes))
+
+
 def main():
     n_reads = int(os.environ.get("BENCH_READS", "100000"))
     tmp = tempfile.mkdtemp(prefix="mtc_bench_")
     fq = os.path.join(tmp, "bench.fastq")
     arc = os.path.join(tmp, "bench.mtc")
     dec = os.path.join(tmp, "bench.dec")
-    seq_bytes = make_dataset(fq, n_reads)
+    # generate in a child process so the harness's own big temporaries do not
+    # inflate the compressor's peak-RSS metric
+    import multiprocessing as mp
+    ctx = mp.get_context("spawn")
+    p = ctx.Process(target=make_dataset, args=(fq, n_reads))
+    p.start()
+    p.join()
+    if p.exitcode != 0:
+        raise RuntimeError("dataset generation failed")
+    L = len(open(fq, "rb").read(4096).splitlines()[1])
+    seq_bytes = n_reads * (L + 1)
 
     from minicom_tpu import compressor
 
@@ -67,12 +85,13 @@ def main():
     compressor.decompress(arc, dec)
     dec_s = time.time() - t0
 
-    a = sorted(open(fq, "rb").read().splitlines()[1::4])
-    b = sorted(open(dec, "rb").read().splitlines())
-    roundtrip_ok = a == b
-
-    raw_seq = b"\n".join(a) + b"\n"
-    xz_bytes = len(lzma.compress(raw_seq, preset=9 | lzma.PRESET_EXTREME))
+    # roundtrip check + xz baseline in a child process (both allocate far
+    # more than the compressor's working set; keep them out of its peak RSS)
+    q = ctx.Queue()
+    p = ctx.Process(target=_check_and_xz, args=(fq, dec, q))
+    p.start()
+    roundtrip_ok, xz_bytes = q.get()
+    p.join()
 
     # head-to-head vs the REFERENCE binary (built from /root/reference with
     # this input's config.h; its raw streams entropy-coded with the same

@@ -64,6 +64,14 @@ def _load():
                 fn.restype = ctypes.c_int64
                 fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                ctypes.c_void_p, ctypes.c_int64]
+        lib.rc_encode_blocked.restype = ctypes.c_int64
+        lib.rc_encode_blocked.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          ctypes.c_void_p, ctypes.c_int64]
+        lib.rc_decode_blocked.restype = ctypes.c_int64
+        lib.rc_decode_blocked.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                          ctypes.c_int64, ctypes.c_void_p,
+                                          ctypes.c_int64]
         lib.realign_probe.restype = ctypes.c_int64
         lib.realign_probe.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -259,18 +267,32 @@ def _py_decode(text: bytes, ref_rows) -> np.ndarray:
     return out
 
 
+# family ids for the blocked container (rangecoder.cpp)
+_RC_FAMILY = {"o1rc": 0, "o2rc": 1, "dnarc": 2}
+
+# Independent-block sizes (bytes of RAW stream). Blocks restart the adaptive
+# model, so they are LARGE — the restart cost is negligible at the sizes
+# where splitting engages — and fixed, so archives are a pure function of the
+# data (never of the thread count). dnarc streams are 2-bit packed: 4 MiB of
+# raw bytes = 16 Mbases per block.
+_RC_BLOCK = {"o1rc": 8 << 20, "o2rc": 8 << 20, "dnarc": 4 << 20}
+
+
 def rc_encode(family: str, data: bytes) -> bytes:
     """Adaptive range coder encode: family in {o1rc, o2rc, dnarc}
-    (native only — no fallback)."""
+    (native only — no fallback). Streams larger than the family block size
+    are split into independently-coded blocks (OpenMP-parallel both ways)."""
     lib = _load()
     if not lib:
         raise RuntimeError("native range coder unavailable")
     buf = np.frombuffer(data, dtype=np.uint8)
-    cap = len(buf) + len(buf) // 4 + 64
+    nb = max(1, -(-len(buf) // _RC_BLOCK[family]))
+    cap = len(buf) + len(buf) // 4 + 64 + 12 + 8 * nb
     while True:
         out = np.empty(cap, dtype=np.uint8)
-        n = getattr(lib, family + "_encode")(
-            buf.ctypes.data, len(buf), out.ctypes.data, cap)
+        n = lib.rc_encode_blocked(_RC_FAMILY[family], buf.ctypes.data,
+                                  len(buf), _RC_BLOCK[family],
+                                  out.ctypes.data, cap)
         if n >= 0:
             return out[:n].tobytes()
         cap *= 4  # adversarial input can expand; retry with more room
@@ -282,8 +304,10 @@ def rc_decode(family: str, data: bytes, raw_len: int) -> bytes:
         raise RuntimeError("native range coder unavailable")
     buf = np.frombuffer(data, dtype=np.uint8)
     out = np.empty(raw_len, dtype=np.uint8)
-    getattr(lib, family + "_decode")(
-        buf.ctypes.data, len(buf), out.ctypes.data, raw_len)
+    r = lib.rc_decode_blocked(_RC_FAMILY[family], buf.ctypes.data, len(buf),
+                              out.ctypes.data, raw_len)
+    if r != raw_len:
+        raise ValueError(f"{family}: corrupt blocked stream")
     return out.tobytes()
 
 
