@@ -71,10 +71,10 @@ def _compress(reads_path, out_path, cfg, reads_path2, stats) -> dict:
 
     # upload the (N-substituted) read store to device ONCE; all cluster /
     # merge rounds gather from it by rid (13 B/member host->device instead of
-    # L+13 — the scarce resource through a tunneled chip)
-    import jax.numpy as jnp
-    from minicom_tpu.parallel.mesh import replicate
-    codes_dev = replicate(jnp.asarray(cls.codes_sub))
+    # L+13 — the scarce resource through a tunneled chip), row-padded to a
+    # pow2 tier so XLA program shapes are dataset-size independent
+    from minicom_tpu.parallel.mesh import upload_read_store
+    codes_dev = upload_read_store(cls.codes_sub)
 
     with stats.stage("cluster"):
         cset, sg = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool, rcfg,
@@ -86,8 +86,7 @@ def _compress(reads_path, out_path, cfg, reads_path2, stats) -> dict:
     rcfg = cfg.resolve(L if L else 1, n_singletons=len(sg))
 
     with stats.stage("merge"):
-        cset = merge_contigs(cset, rcfg, cls.codes_sub, codes_dev,
-                             stats.counters)
+        cset = merge_contigs(cset, rcfg, stats.counters)
     del codes_dev
     stats.set("clusters_merged", cset.n_clusters)
     stats.set("consensus_bases", int(cset.ref_ptr[-1]))

@@ -14,6 +14,8 @@ from __future__ import annotations
 import json
 import os
 import struct
+
+import numpy as np
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict
 
@@ -81,7 +83,13 @@ def _auto_candidates(name: str, rlen: int = 0) -> list:
 
 def write_container(path: str, meta: dict, streams: Dict[str, bytes],
                     codec: str) -> int:
-    """Compress and write streams; returns total archive bytes."""
+    """Compress and write streams; returns total archive bytes.
+
+    Multi-process: the (sorted) stream list is partitioned into contiguous
+    rank ranges weighted by raw size; each rank entropy-codes only its range
+    and the blobs are reassembled with an ordered all-gather — every rank
+    writes identical bytes (the multi-host analogue of the reference's
+    per-stream background bsc jobs, minicom:115-148)."""
     names = sorted(streams)
 
     def encode_one(name: str) -> tuple[str, bytes]:
@@ -90,10 +98,33 @@ def write_container(path: str, meta: dict, streams: Dict[str, bytes],
             return backend.best_of(_auto_candidates(name, len(raw)), raw)
         return codec, backend.compress(codec, raw)
 
+    from minicom_tpu.parallel import distributed as dist
+    _, nproc = dist.process_grid()
+    if nproc > 1:
+        lo, hi = dist.my_partition(
+            np.array([len(streams[n]) for n in names], np.int64))
+        mine = list(_pool().map(encode_one, names[lo:hi]))
+        payload = b"".join(
+            struct.pack("<HQ", len(used.encode()), len(blob))
+            + used.encode() + blob for used, blob in mine)
+        merged = dist.allgather_ragged(np.frombuffer(payload, np.uint8))
+        buf = merged.tobytes()
+        encoded = []
+        pos = 0
+        while pos < len(buf):
+            nlen, blen = struct.unpack_from("<HQ", buf, pos)
+            pos += 10
+            encoded.append((buf[pos:pos + nlen].decode(),
+                            buf[pos + nlen:pos + nlen + blen]))
+            pos += nlen + blen
+        assert len(encoded) == len(names)
+    else:
+        encoded = list(_pool().map(encode_one, names))
+
     table = []
     blobs = []
     off = 0
-    for name, (used, blob) in zip(names, _pool().map(encode_one, names)):
+    for name, (used, blob) in zip(names, encoded):
         raw = streams[name]
         table.append({"name": name, "off": off, "clen": len(blob),
                       "rlen": len(raw), "codec": used})

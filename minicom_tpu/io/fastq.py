@@ -59,18 +59,117 @@ def read_fastq(path: str) -> np.ndarray:
 
 
 def read_fastq_codes(path: str) -> np.ndarray:
-    """FASTQ -> [N, L] base codes (0..3, N/other = 4)."""
-    from minicom_tpu import native
+    """FASTQ -> [N, L] base codes (0..3, N/other = 4).
+
+    Multi-process: each rank parses only its byte-range slice of the file
+    (snapped to record boundaries via an ordered exchange of per-slice line
+    counts) and the code matrices are reassembled with an ordered all-gather
+    — every rank ends with the identical full matrix at 1/P of the parse
+    work (plain files only; gzip streams cannot be random-accessed and fall
+    back to a full parse per rank, like the reference's zlib path)."""
+    from minicom_tpu.parallel import distributed as dist
+    _, nproc = dist.process_grid()
+    if nproc > 1:
+        with open(path, "rb") as f:
+            is_gz = f.read(2) == b"\x1f\x8b"
+        if not is_gz:
+            return _read_fastq_codes_sharded(path)
     data = _read_all(path)
     if data and not data.endswith(b"\n"):
         data += b"\n"
+    return _parse_codes(data, path)
+
+
+def _parse_codes(data: bytes, path: str) -> np.ndarray:
+    from minicom_tpu import native
+    codes = None
     try:
         codes = native.fastq_parse_codes(data)
     except ValueError as e:
         raise ValueError(f"{path}: {e}") from None
-    if codes is not None:
-        return codes
-    return ascii_to_codes(read_fastq(path))
+    if codes is None:
+        buf = np.frombuffer(data, np.uint8)
+        nl = np.flatnonzero(buf == ord("\n"))
+        if len(nl) % 4:
+            raise ValueError(f"{path}: truncated FASTQ ({len(nl)} lines)")
+        starts = np.concatenate([[0], nl[:-1] + 1])
+        seq_starts, seq_ends = starts[1::4], nl[1::4]
+        lens = seq_ends - seq_starts
+        L = int(lens[0]) if lens.size else 0
+        if lens.size and not np.all(lens == L):
+            raise ValueError(f"{path}: reads have non-uniform length")
+        if L > 256:
+            raise ValueError(f"{path}: read length {L} exceeds the 256 bp limit")
+        codes = ascii_to_codes(buf[seq_starts[:, None] + np.arange(L)[None, :]])
+    return codes
+
+
+def _read_fastq_codes_sharded(path: str) -> np.ndarray:
+    """Byte-range-sharded parse; see read_fastq_codes."""
+    from minicom_tpu.parallel import distributed as dist
+    pid, nproc = dist.process_grid()
+    size = os.path.getsize(path)
+    lo = size * pid // nproc
+    hi = size * (pid + 1) // nproc
+    with open(path, "rb") as f:
+        at_start = lo == 0
+        if not at_start:
+            f.seek(lo - 1)
+            at_start = f.read(1) == b"\n"  # a line starts exactly at lo
+        buf = np.frombuffer(f.read(hi - lo), np.uint8)
+    # global line parity: exchange per-slice newline counts so each rank
+    # knows the global line index at its slice start (records = 4 lines)
+    nl = np.flatnonzero(buf == ord("\n"))
+    counts = dist.allgather_ragged(np.array([len(nl)], np.int64))
+    first_line = int(counts[:pid].sum())
+    # line starts within the slice (byte offsets, slice-relative) and their
+    # global line indices (= number of '\n' before the start byte)
+    if at_start:
+        starts = np.concatenate([[0], nl + 1])
+        line_of = first_line + np.arange(len(starts))
+    else:
+        starts = nl + 1
+        line_of = first_line + 1 + np.arange(len(starts))
+    rec = starts[line_of % 4 == 0]
+    rec = rec[rec < len(buf)]  # a start at the slice end belongs to the next rank
+    my_records = b""
+    if len(rec):
+        r0 = int(rec[0])
+        # records starting in this slice may end past hi: a record is 4
+        # lines, so finish the open one from the next bytes of the file
+        done = int((nl >= r0).sum())  # complete lines from r0 to slice end
+        need = (4 - done % 4) % 4
+        tail = b""
+        if need:
+            with open(path, "rb") as f:
+                f.seek(hi)
+                tail = f.read(1 << 20)
+            t = np.frombuffer(tail, np.uint8)
+            tnl = np.flatnonzero(t == ord("\n"))
+            if len(tnl) >= need:
+                tail = tail[: int(tnl[need - 1]) + 1]
+            elif hi + len(tail) == size and len(tnl) == need - 1:
+                tail += b"\n"  # unterminated final line at EOF
+            else:
+                raise ValueError(f"{path}: truncated FASTQ at EOF")
+        my_records = buf[r0:].tobytes() + tail
+        if not my_records.endswith(b"\n") and hi == size:
+            my_records += b"\n"
+    codes = _parse_codes(my_records, path) if my_records else None
+    # exchange [n_i, L] code blocks; L consistency is validated globally
+    if codes is None:
+        shape = np.array([0, -1], np.int64)
+        flat = np.zeros(0, np.uint8)
+    else:
+        shape = np.array(codes.shape, np.int64)
+        flat = codes.reshape(-1)
+    shapes = dist.allgather_ragged(shape).reshape(nproc, 2)
+    Ls = shapes[shapes[:, 1] >= 0, 1]
+    if len(Ls) and not np.all(Ls == Ls[0]):
+        raise ValueError(f"{path}: reads have non-uniform length")
+    L = int(Ls[0]) if len(Ls) else 0
+    allc = dist.allgather_ragged(flat)
+    return allc.reshape(-1, L) if L else np.zeros((0, 0), np.uint8)
 
 
 def write_reads(path: str, ascii_mat: np.ndarray) -> None:

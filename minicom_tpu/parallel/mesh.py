@@ -55,6 +55,21 @@ def replicate(arr):
     return jax.device_put(arr, NamedSharding(mesh, P()))
 
 
+def upload_read_store(codes_sub: np.ndarray):
+    """Upload the [N, L] read store replicated, with N padded to a pow2 tier
+    so downstream XLA program shapes are dataset-size independent (each new
+    (tier, L) pair compiles once per machine; padding rows are never
+    gathered — rids stay < N)."""
+    import jax.numpy as jnp
+    n, L = codes_sub.shape
+    n_pad = 1 << max(13, int(max(n, 1) - 1).bit_length())
+    store = codes_sub
+    if n_pad != n:
+        store = np.zeros((n_pad, L), codes_sub.dtype)
+        store[:n] = codes_sub
+    return replicate(jnp.asarray(store))
+
+
 def shard_rows(arr):
     """device_put a [N, ...] batch row-sharded over the active mesh (no-op
     without one). N must divide by the mesh size — callers pad to pow2/fixed

@@ -262,7 +262,8 @@ def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig,
     """
     L = codes_sub.shape[1]
     if codes_dev is None:
-        codes_dev = replicate(jnp.asarray(codes_sub))
+        from minicom_tpu.parallel.mesh import upload_read_store
+        codes_dev = upload_read_store(codes_sub)
     K = cfg.k
     results: list[ClusterSet] = [ClusterSet.empty(L)]
     sg_parts: list[np.ndarray] = [np.zeros(0, np.int64)]

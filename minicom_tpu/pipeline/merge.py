@@ -57,7 +57,7 @@ def _batch_m(Lmax: int, k: int, w: int) -> int:
     m = min(_RANK_CAP, max(8, int(2.2 * S / (w + 1)) + 8))
     return min(_RANK_CAP, (m + 7) & ~7)
 from minicom_tpu.parallel.mesh import fetch, replicate
-from minicom_tpu.pipeline.cluster import ClusterSet, consensus_from_members
+from minicom_tpu.pipeline.cluster import ClusterSet
 
 _RANK_CAP = 48         # minimizers kept per contig for PROBING (the
                        # reference probes with every own minimizer,
@@ -177,7 +177,8 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int):
             dist.allgather_ragged(np.concatenate(ranks)))
 
 
-def _candidate_pairs(key, cid, pos, strand, rank, m, stats=None):
+def _candidate_pairs(key, cid, pos, strand, rank, m, stats=None,
+                     new_from=None):
     """Ordered pairs (a, b, shift) of contigs sharing a minimizer k-mer with
     equal strand. shift d aligns b into a's coordinates (col_b0 at col d).
 
@@ -185,34 +186,64 @@ def _candidate_pairs(key, cid, pos, strand, rank, m, stats=None):
     INDEX holds only each contig's first ``m`` minimizers
     (kthread_bucket.c:451-475) while every minimizer of every contig PROBES
     it. Hits per probe are capped at _MAX_PER_PROBE (first-in-index order);
-    drops are counted in ``stats`` rather than silently swallowed."""
+    drops are counted in ``stats`` rather than silently swallowed.
+
+    ``new_from``: when set, only pairs touching a contig id >= new_from can
+    be new (incremental iterations), so the search runs in two cheap halves:
+    new-contig probes against the full index, and old-contig probes against
+    only the new contigs' index entries."""
     idx = rank < m
-    ik, ic, ip, iz = key[idx], cid[idx], pos[idx], strand[idx]
-    srt = np.argsort(ik, kind="stable")
-    ik, ic, ip, iz = ik[srt], ic[srt], ip[srt], iz[srt]
-    lo = np.searchsorted(ik, key, side="left")
-    hi = np.searchsorted(ik, key, side="right")
-    cnt_all = hi - lo
-    cnt = np.minimum(cnt_all, _MAX_PER_PROBE)
-    if stats is not None:
-        stats["merge_probe_drops"] = stats.get("merge_probe_drops", 0) + \
-            int((cnt_all - cnt).sum())
-    tot = int(cnt.sum())
-    if tot == 0:
-        return (np.zeros(0, np.int64),) * 3
-    probe = np.repeat(np.arange(len(key)), cnt)
-    hit = (np.repeat(lo, cnt)
-           + (np.arange(tot) - np.repeat(np.cumsum(np.r_[0, cnt[:-1]]), cnt)))
-    ok = (cid[probe] != ic[hit]) & (strand[probe] == iz[hit])
-    a = cid[probe[ok]]
-    b = ic[hit[ok]]
-    # shift aligns b into a's coordinates: the shared k-mer sits at pos_a in
-    # a and pos_b in b, so b's column 0 lands at pos_a - pos_b
-    d = (pos[probe[ok]].astype(np.int64) - ip[hit[ok]])
+
+    def _probe(pmask, imask):
+        ik, ic, ip, iz = key[imask], cid[imask], pos[imask], strand[imask]
+        pk, pc, pp, pz = key[pmask], cid[pmask], pos[pmask], strand[pmask]
+        z = (np.zeros(0, np.int64),) * 3
+        if len(ik) == 0 or len(pk) == 0:
+            return z
+        srt = np.argsort(ik, kind="stable")
+        ik, ic, ip, iz = ik[srt], ic[srt], ip[srt], iz[srt]
+        lo = np.searchsorted(ik, pk, side="left")
+        hi = np.searchsorted(ik, pk, side="right")
+        cnt_all = hi - lo
+        cnt = np.minimum(cnt_all, _MAX_PER_PROBE)
+        if stats is not None:
+            stats["merge_probe_drops"] = stats.get("merge_probe_drops", 0) + \
+                int((cnt_all - cnt).sum())
+        tot = int(cnt.sum())
+        if tot == 0:
+            return z
+        probe = np.repeat(np.arange(len(pk)), cnt)
+        hit = (np.repeat(lo, cnt)
+               + (np.arange(tot)
+                  - np.repeat(np.cumsum(np.r_[0, cnt[:-1]]), cnt)))
+        ok = (pc[probe] != ic[hit]) & (pz[probe] == iz[hit])
+        # shift aligns b into a's coordinates: the shared k-mer sits at
+        # pos_a in a and pos_b in b, so b's column 0 lands at pos_a - pos_b
+        return (pc[probe[ok]], ic[hit[ok]],
+                pp[probe[ok]].astype(np.int64) - ip[hit[ok]])
+
+    all_rows = np.ones(len(key), bool)
+    if new_from is None:
+        parts = [_probe(all_rows, idx)]
+    else:
+        newp = cid >= new_from
+        parts = [_probe(newp, idx), _probe(~newp, idx & newp)]
+    a = np.concatenate([p[0] for p in parts])
+    b = np.concatenate([p[1] for p in parts])
+    d = np.concatenate([p[2] for p in parts])
     if len(a) == 0:
         return (np.zeros(0, np.int64),) * 3
-    uniq = np.unique(np.stack([a, b, d], axis=1), axis=0)
-    return uniq[:, 0], uniq[:, 1], uniq[:, 2]
+    return _dedupe_pairs(a, b, d)
+
+
+def _dedupe_pairs(a, b, d):
+    """Unique (a, b, d) triples via one lexsort + adjacent-equal mask
+    (np.unique(axis=0) sorts a structured view — far slower)."""
+    order = np.lexsort((d, b, a))
+    a, b, d = a[order], b[order], d[order]
+    keep = np.ones(len(a), bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (d[1:] != d[:-1])
+    return a[keep], b[keep], d[keep]
 
 
 def _score_pairs(cs: ClusterSet, a, b, d, cap: int):
@@ -247,17 +278,21 @@ def _score_pairs(cs: ClusterSet, a, b, d, cap: int):
 
 
 def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
-                  codes_sub: np.ndarray, codes_dev=None,
                   stats: dict | None = None) -> ClusterSet:
-    L = cset.readlen
-    if codes_dev is None:
-        codes_dev = replicate(jnp.asarray(codes_sub))
     pre_tot = 0
     sk = None  # cached (key, cid, pos, strand, rank) of contig minimizers
+    new_from = None  # incremental probing: only pairs touching ids >= this
     while cset.n_clusters > 1:
         if sk is None:
             sk = sketch_contigs(cset, cfg.k, cfg.contig_window)
-        a, b, d = _candidate_pairs(*sk, cfg.first_minimizers, stats)
+        # After the first iteration only pairs touching a freshly-merged
+        # contig can exist: the multi-pass matching below is maximal (the
+        # globally earliest live candidate is always taken), so any
+        # scored-OK pair between two surviving contigs would have been
+        # merged, and score-rejected pairs stay rejected because neither
+        # contig changed. This replaces the reference's full index rebuild
+        # per generation (kthread_cb.c:580) with an exact incremental search.
+        a, b, d = _candidate_pairs(*sk, cfg.first_minimizers, stats, new_from)
         n_merges = 0
         if len(a):
             scores = _score_pairs(cset, a, b, d, cfg.cb_threshold)
@@ -297,7 +332,7 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
             if n_merges:
                 cset, kept_old, n_pairs = _apply_merges(
                     cset, np.concatenate(pa), np.concatenate(pb),
-                    np.concatenate(pd), codes_dev)
+                    np.concatenate(pd))
                 # Incremental re-sketch: untouched contigs keep their cached
                 # minimizers (per-contig sketches are batch-independent);
                 # only the n_pairs merged contigs — appended after the
@@ -316,6 +351,7 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
                       np.concatenate([pos[live], fp]),
                       np.concatenate([strand[live], fs]),
                       np.concatenate([rank[live], fr]))
+                new_from = n_keep
         tot = cset.n_clusters
         if abs(pre_tot - tot) < 100 or n_merges == 0:
             break
@@ -323,8 +359,29 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
     return cset
 
 
-def _apply_merges(cs: ClusterSet, a, b, d, codes_dev):
-    """Merge pairs (a <- b shifted by d); rebuild merged consensus.
+def _paste(dst, dst_starts, src, src_starts, seg_lens):
+    """dst[dst_starts[i] + j] = src[src_starts[i] + j] for j < seg_lens[i]."""
+    tot = int(seg_lens.sum())
+    if tot == 0:
+        return
+    rep = np.repeat(np.arange(len(seg_lens)), seg_lens)
+    off = np.arange(tot) - np.repeat(
+        np.cumsum(np.r_[0, seg_lens[:-1]]), seg_lens)
+    dst[dst_starts[rep] + off] = src[src_starts[rep] + off]
+
+
+def _apply_merges(cs: ClusterSet, a, b, d):
+    """Merge pairs (a <- b shifted by d); splice the merged consensus.
+
+    The merged consensus is the SPLICE of the two existing consensus strings
+    (each already a member-count majority vote): both cover their own span,
+    and in the <= cb_threshold-mismatch overlap each COLUMN keeps the base
+    of whichever side has more members covering it (coverage computed from
+    member span endpoints with one cumsum). This approximates the
+    reference's full member re-vote (construct_ref2, kthread_cb.c:105-218)
+    with pure host scatters, removing the dominant device round trip of the
+    merge loop; it differs from the re-vote only at columns where members'
+    own mismatches would flip the majority their consensus carries.
 
     Returns (new ClusterSet = [untouched contigs..., merged pairs...],
     indices of the untouched contigs in the OLD numbering, n_pairs)."""
@@ -344,23 +401,50 @@ def _apply_merges(cs: ClusterSet, a, b, d, codes_dev):
     cptr = np.zeros(P + 1, np.int64)
     np.cumsum(pair_sizes, out=cptr[1:])
     M = int(cptr[-1])
-    seg = np.repeat(np.arange(P), pair_sizes)
     # member gather: first A's members then B's per pair
     local = np.arange(M) - np.repeat(cptr[:-1], pair_sizes)
     from_a = local < np.repeat(na, pair_sizes)
-    la = local
-    lb = local - np.repeat(na, pair_sizes)
+    la_loc = local
+    lb_loc = local - np.repeat(na, pair_sizes)
     src = np.where(from_a,
-                   np.repeat(cs.cluster_ptr[a], pair_sizes) + la,
-                   np.repeat(cs.cluster_ptr[b], pair_sizes) + lb)
+                   np.repeat(cs.cluster_ptr[a], pair_sizes) + la_loc,
+                   np.repeat(cs.cluster_ptr[b], pair_sizes) + lb_loc)
     mem_rid = cs.mem_rid[src]
     mem_dir = cs.mem_dir[src]
     mem_off = (cs.mem_off[src].astype(np.int64)
                + np.where(from_a, np.repeat(shift_a, pair_sizes),
                           np.repeat(shift_b, pair_sizes)))
 
-    ref_flat, ref_ptr, _ = consensus_from_members(
-        L, seg, mem_off, mem_rid, mem_dir, P, codes_dev, want_diffs=False)
+    lens = cs.ref_lengths()
+    la, lb = lens[a], lens[b]
+    span = np.maximum(shift_a + la, shift_b + lb)
+    ref_ptr = np.zeros(P + 1, np.int64)
+    np.cumsum(span, out=ref_ptr[1:])
+    total = int(ref_ptr[-1])
+    ref_flat = np.zeros(total, np.uint8)
+    _paste(ref_flat, ref_ptr[:-1] + shift_b, cs.ref_flat, cs.ref_ptr[b], lb)
+    _paste(ref_flat, ref_ptr[:-1] + shift_a, cs.ref_flat, cs.ref_ptr[a], la)
+    # per-column coverage vote in the overlap: cov = (#A members) - (#B
+    # members) covering each merged column, via span-endpoint deltas + one
+    # cumsum; columns where B's coverage wins take B's base back
+    seg = np.repeat(np.arange(P), pair_sizes)
+    mstart = ref_ptr[seg] + mem_off
+    sign = np.where(from_a, np.int32(1), np.int32(-1))
+    cov = np.zeros(total + 1, np.int32)
+    np.add.at(cov, mstart, sign)
+    np.add.at(cov, mstart + L, -sign)
+    cov = np.cumsum(cov[:-1], dtype=np.int64)
+    ostart = np.maximum(shift_a, shift_b)
+    olen = np.maximum(np.minimum(shift_a + la, shift_b + lb) - ostart, 0)
+    orep = np.repeat(np.arange(P), olen)
+    ooff = np.arange(int(olen.sum())) - np.repeat(
+        np.cumsum(np.r_[0, olen[:-1]]), olen)
+    ocol = ref_ptr[orep] + ostart[orep] + ooff
+    mask = cov[ocol] < 0
+    bwin, prow = ocol[mask], orep[mask]
+    ref_flat[bwin] = cs.ref_flat[cs.ref_ptr[b[prow]]
+                                 + (bwin - ref_ptr[prow] - shift_b[prow])]
+
     merged = ClusterSet(L, mem_rid, mem_off.astype(np.int32), mem_dir,
                         cptr, ref_flat, ref_ptr)
     return ClusterSet.concat([keep, merged]), kept_old, P

@@ -25,7 +25,7 @@ def test_merge_reduces_clusters_and_grows_contigs(rng):
     c0 = cset.n_clusters
     m0 = cset.n_members
     len0 = cset.ref_lengths().max() if c0 else 0
-    merged = merge_contigs(cset, cfg, cls.codes_sub)
+    merged = merge_contigs(cset, cfg)
     assert merged.n_members == m0          # merging never loses reads
     assert merged.n_clusters <= c0
     if merged.n_clusters < c0:
@@ -50,7 +50,7 @@ def test_merge_roundtrip_members_match_reads(rng):
     from minicom_tpu.ops.pack import codes_to_ascii, revcomp_codes
 
     cls, cset, sg, cfg = _build(rng, n=500)
-    merged = merge_contigs(cset, cfg, cls.codes_sub)
+    merged = merge_contigs(cset, cfg)
     L = merged.readlen
     sizes = merged.cluster_sizes()
     seg = np.repeat(np.arange(merged.n_clusters), sizes)

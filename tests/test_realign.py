@@ -29,7 +29,7 @@ def _pipeline(rng, n=900, L=100, genome_len=2500, err=0.02):
     cfg = CompressorConfig().resolve(L, n_singletons=n)
     cls = classify_mod.classify(cmat, cfg)
     cset, sg = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool, cfg)
-    cset = merge_contigs(cset, cfg, cls.codes_sub)
+    cset = merge_contigs(cset, cfg)
     return cls, cset, sg, cfg
 
 
@@ -68,7 +68,7 @@ def test_realign_absorbs_near_polyA(rng):
     cls = classify_mod.classify(cmat, cfg)
     assert len(cls.near_a) == 0  # classifier must not have taken them (e=4)
     cset, sg = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool, cfg)
-    cset = merge_contigs(cset, cfg, cls.codes_sub)
+    cset = merge_contigs(cset, cfg)
     # absorption fires at ladder rungs above the classifier threshold
     # (bbhashdict.c:157 uses the rung's threshold); emulate a later rung by
     # starting the ladder at e=16
