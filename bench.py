@@ -24,8 +24,12 @@ import numpy as np
 
 
 def make_dataset(path: str, n_reads: int, L: int = 100,
-                 coverage_genome: int = 400_000, err: float = 0.01,
+                 coverage_genome: int = 0, err: float = 0.01,
                  seed: int = 7) -> int:
+    """Genome-sampled reads at ~50x coverage (a fixed tiny genome would make
+    large n_reads trivially compressible and flatter the bench)."""
+    if not coverage_genome:
+        coverage_genome = max(400_000, n_reads * L // 50)
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, coverage_genome, dtype=np.uint8)
     starts = rng.integers(0, coverage_genome - L, n_reads)

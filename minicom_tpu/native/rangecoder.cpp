@@ -11,10 +11,13 @@
 //   1.7x faster both directions); wins on the structured diff-text streams.
 // * dnarc — 2-bit base symbols (packed 4/byte in the stream) coded in ONE
 //   4-ary range step per base; context = a rolling hash of the previous 16
-//   bases into 2^22 slots. High-order context modeling is what lets
-//   repeated genome regions across contigs predict the next base nearly
-//   perfectly — the same redundancy the reference outsources to bsc's BWT,
-//   at a fraction of the time.
+//   bases into a table that SCALES with the stream (2^22..2^26 slots — see
+//   dna_ctx_bits). High-order context modeling is what lets repeated genome
+//   regions across contigs predict the next base nearly perfectly — the
+//   same redundancy the reference outsources to bsc's BWT, at a fraction of
+//   the time (and byte-oriented LZ can't see: 2-bit packing misaligns
+//   repeats that aren't 0 mod 4 bases apart — measured xz -9e leaving a
+//   2x-covered 7.6 Mbase consensus stream at 99.9%).
 //
 // Every family also has a BLOCKED container (`rc_encode_blocked` /
 // `rc_decode_blocked`): streams larger than a family-specific block size are
@@ -261,9 +264,20 @@ int64_t o2rc_decode(const uint8_t* data, int64_t len, uint8_t* out,
 // 2-bit-tree model.
 
 namespace {
-constexpr int kDnaCtxBits = 22;
-inline uint32_t dna_ctx(uint32_t hist) {
-    return (hist * 0x9E3779B1u) >> (32 - kDnaCtxBits);
+// Context-table size SCALES with the stream: an order-16 context is ~unique
+// per genome position, so the table needs ~4-6 slots per base or hash
+// collisions cross-pollute counts and kill the repeat prediction (measured:
+// a fixed 2^22 table compresses a 7.6 Mbase consensus stream to 99% — i.e.
+// not at all — where 2^25 reaches 78%). Both sides derive the size from the
+// raw length they already know, so the format stays self-describing.
+inline int dna_ctx_bits(int64_t raw_bytes) {
+    int64_t bases = raw_bytes * 4;
+    int bits = 22;
+    while (bits < 26 && (bases >> (bits - 2)) > 0) ++bits;
+    return bits;
+}
+inline uint32_t dna_ctx(uint32_t hist, uint32_t shift) {
+    return (hist * 0x9E3779B1u) >> shift;
 }
 
 struct Ctr4 {  // 4-symbol counters, capped by halving (total stays < 60)
@@ -296,9 +310,12 @@ struct DnaTables {
 static const DnaTables kDna;
 
 struct DnaModel {
-    std::vector<Ctr4> hi;   // hashed order-16 contexts (4 B each, 16 MiB)
+    std::vector<Ctr4> hi;   // hashed order-16 contexts (4 B each)
     std::vector<Ctr4> lo;   // direct order-6 contexts
-    DnaModel() : hi((size_t)1 << kDnaCtxBits), lo((size_t)1 << 12) {}
+    uint32_t shift;         // 32 - ctx_bits
+    explicit DnaModel(int bits)
+        : hi((size_t)1 << bits), lo((size_t)1 << 12),
+          shift(32u - (uint32_t)bits) {}
 
     // mixed 12-bit probs -> p[4], sums to exactly 4096; trust the high-order
     // context in proportion to its sample count
@@ -334,7 +351,7 @@ struct DnaState {
         hist = (hist << 2) | sym;
         rhist = (rhist >> 2) | ((sym ^ 3u) << 30);
         if (++n >= 17) {  // IR insert: ctx = rc window, symbol = comp(oldest)
-            uint32_t c = dna_ctx(rhist);
+            uint32_t c = dna_ctx(rhist, m.shift);
             __builtin_prefetch(&m.hi[c], 1, 1);
             if (ir_n == kIrLag)
                 m.hi[ir_ctx[ir_head]].update(ir_sym[ir_head]);
@@ -350,7 +367,7 @@ struct DnaState {
 
 int64_t dnarc_encode(const uint8_t* data, int64_t len, uint8_t* out,
                      int64_t out_cap) {
-    DnaModel m;
+    DnaModel m(dna_ctx_bits(len));
     DnaState st;
     Encoder enc(out, out_cap);
     constexpr int PF = 8;  // exact-context prefetch lookahead (bases)
@@ -370,11 +387,11 @@ int64_t dnarc_encode(const uint8_t* data, int64_t len, uint8_t* out,
             uint32_t s = sym_at(j + PF);
             hist_pf = (hist_pf << 2) | s;
             rhist_pf = (rhist_pf >> 2) | ((s ^ 3u) << 30);
-            __builtin_prefetch(&m.hi[dna_ctx(hist_pf)], 1, 1);
-            __builtin_prefetch(&m.hi[dna_ctx(rhist_pf)], 1, 1);
+            __builtin_prefetch(&m.hi[dna_ctx(hist_pf, m.shift)], 1, 1);
+            __builtin_prefetch(&m.hi[dna_ctx(rhist_pf, m.shift)], 1, 1);
         }
         uint32_t sym = sym_at(j);
-        Ctr4& h = m.hi[dna_ctx(st.hist)];
+        Ctr4& h = m.hi[dna_ctx(st.hist, m.shift)];
         Ctr4& l = m.lo[st.hist & 0xFFF];
         DnaModel::mix(h, l, p);
         uint32_t cum = 0;
@@ -395,21 +412,21 @@ int64_t dnarc_encode(const uint8_t* data, int64_t len, uint8_t* out,
 
 int64_t dnarc_decode(const uint8_t* data, int64_t len, uint8_t* out,
                      int64_t raw_len) {
-    DnaModel m;
+    DnaModel m(dna_ctx_bits(raw_len));
     DnaState st;
     Decoder dec(data, len);
     uint32_t p[4];
     for (int64_t i = 0; i < raw_len; ++i) {
         uint8_t byte = 0;
         for (int s = 0; s < 4; ++s) {
-            Ctr4& h = m.hi[dna_ctx(st.hist)];
+            Ctr4& h = m.hi[dna_ctx(st.hist, m.shift)];
             Ctr4& l = m.lo[st.hist & 0xFFF];
             // speculative prefetch: the 4 possible next context lines
             uint32_t nh = st.hist << 2;
-            __builtin_prefetch(&m.hi[dna_ctx(nh)], 0, 1);
-            __builtin_prefetch(&m.hi[dna_ctx(nh | 1)], 0, 1);
-            __builtin_prefetch(&m.hi[dna_ctx(nh | 2)], 0, 1);
-            __builtin_prefetch(&m.hi[dna_ctx(nh | 3)], 0, 1);
+            __builtin_prefetch(&m.hi[dna_ctx(nh, m.shift)], 0, 1);
+            __builtin_prefetch(&m.hi[dna_ctx(nh | 1, m.shift)], 0, 1);
+            __builtin_prefetch(&m.hi[dna_ctx(nh | 2, m.shift)], 0, 1);
+            __builtin_prefetch(&m.hi[dna_ctx(nh | 3, m.shift)], 0, 1);
             DnaModel::mix(h, l, p);
             uint32_t r = dec.range >> kProbBits;
             uint32_t v = dec.code / r;
