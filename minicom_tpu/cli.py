@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--codec", default="auto",
                    choices=["auto", "xz", "o1rc", "bz2", "zlib", "store"],
                    help="entropy backend per stream (auto = best of xz/o1rc)")
+    p.add_argument("--checkpoint", metavar="DIR", default=None,
+                   help="stage checkpoint dir; reruns resume from the newest "
+                        "completed stage (same input + flags required)")
     p.add_argument("--stats", action="store_true", help="print JSON stats")
     return p
 
@@ -57,7 +60,8 @@ def main(argv=None) -> int:
         k=args.k, diff_threshold=args.e, first_minimizers=args.m,
         contig_window=args.w, num_dicts=args.s, thr_step=args.S,
         max_threshold=args.E, cb_threshold=args.g, max_rounds=args.R,
-        order=args.p, threads=args.t, codec=args.codec)
+        order=args.p, threads=args.t, codec=args.codec,
+        checkpoint_dir=args.checkpoint)
 
     if args.d:
         out = args.o or os.path.splitext(args.d)[0] + "_dec.reads"

@@ -69,31 +69,57 @@ def _compress(reads_path, out_path, cfg, reads_path2, stats) -> dict:
         cls = classify_mod.classify(codes, rcfg)
     del codes
 
-    # upload the (N-substituted) read store to device ONCE; all cluster /
-    # merge rounds gather from it by rid (13 B/member host->device instead of
-    # L+13 — the scarce resource through a tunneled chip), row-padded to a
-    # pow2 tier so XLA program shapes are dataset-size independent
-    from minicom_tpu.parallel.mesh import upload_read_store
-    codes_dev = upload_read_store(cls.codes_sub)
+    # stage checkpoint/resume: snapshots of the (ClusterSet, singletons)
+    # state after each expensive stage; a rerun with the same input + config
+    # resumes from the newest one (byte-identical archive — all stages are
+    # deterministic). The reference has no analogue (SURVEY.md §5).
+    ck = done = None
+    if cfg.checkpoint_dir:
+        from minicom_tpu.checkpoint import StageCheckpoint
+        paths = [reads_path] + ([reads_path2] if reads_path2 else [])
+        ck = StageCheckpoint(cfg.checkpoint_dir, paths, cfg)
+        done, state = ck.latest()
+        if done:
+            cset, sg, extra = state
+            stats.set("resumed_from", done)
+    rank = {"cluster": 1, "merge": 2, "realign": 3}.get(done, 0)
 
-    with stats.stage("cluster"):
-        cset, sg = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool, rcfg,
-                                              codes_dev)
+    if rank < 1:
+        # upload the (N-substituted) read store to device ONCE; all cluster
+        # rounds gather from it by rid (13 B/member host->device instead of
+        # L+13 — the scarce resource through a tunneled chip), row-padded to
+        # a pow2 tier so XLA program shapes are dataset-size independent
+        from minicom_tpu.parallel.mesh import upload_read_store
+        codes_dev = upload_read_store(cls.codes_sub)
+        with stats.stage("cluster"):
+            cset, sg = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool,
+                                                  rcfg, codes_dev)
+        del codes_dev
+        if ck:
+            ck.save("cluster", cset, sg)
     stats.set("clusters_initial", cset.n_clusters)
     stats.set("singletons_initial", len(sg))
 
     # widen realign search when few singletons remain (preprocess.c:169-172)
     rcfg = cfg.resolve(L if L else 1, n_singletons=len(sg))
 
-    with stats.stage("merge"):
-        cset = merge_contigs(cset, rcfg, stats.counters)
-    del codes_dev
+    if rank < 2:
+        with stats.stage("merge"):
+            cset = merge_contigs(cset, rcfg, stats.counters)
+        if ck:
+            ck.save("merge", cset, sg)
     stats.set("clusters_merged", cset.n_clusters)
     stats.set("consensus_bases", int(cset.ref_ptr[-1]))
 
-    with stats.stage("realign"):
-        cset, sg, extra_a, extra_t = realign_ladder(
-            cset, sg, cls.codes_sub, cls.n_mask, rcfg)
+    if rank < 3:
+        with stats.stage("realign"):
+            cset, sg, extra_a, extra_t = realign_ladder(
+                cset, sg, cls.codes_sub, cls.n_mask, rcfg)
+        if ck:
+            ck.save("realign", cset, sg,
+                    {"extra_a": extra_a, "extra_t": extra_t})
+    else:
+        extra_a, extra_t = extra["extra_a"], extra["extra_t"]
     stats.set("singletons_final", len(sg))
 
     # leftover singles containing N join the single_N stream

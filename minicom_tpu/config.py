@@ -49,6 +49,10 @@ class CompressorConfig:
     # | "bz2" | "zlib" | "store"
     codec: str = "auto"
 
+    # stage checkpoint/resume directory (None = off). Reruns with the same
+    # input + parameters resume from the newest completed stage snapshot.
+    checkpoint_dir: Optional[str] = None
+
     # ------------------------------------------------------------------
     def resolve(self, readlen: int, n_singletons: Optional[int] = None) -> "ResolvedConfig":
         """Apply the reference's derived-default rules for a concrete read length.

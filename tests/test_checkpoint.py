@@ -1,0 +1,103 @@
+"""Stage checkpoint/resume: reruns skip completed stages and produce
+byte-identical archives; stale checkpoints (other input/params) are ignored."""
+
+import os
+
+import numpy as np
+import pytest
+
+from minicom_tpu import compressor
+from minicom_tpu.config import CompressorConfig
+from minicom_tpu.stats import StageStats
+
+from conftest import random_reads, write_fastq
+
+
+def _genome_reads(rng, n=600, L=100):
+    genome = rng.integers(0, 4, 4000, dtype=np.uint8)
+    starts = rng.integers(0, 4000 - L, n)
+    reads = genome[starts[:, None] + np.arange(L)]
+    em = rng.random((n, L)) < 0.01
+    reads = np.where(em, (reads + rng.integers(1, 4, (n, L))) % 4,
+                     reads).astype(np.uint8)
+    return np.frombuffer(b"ACGT", np.uint8)[reads]
+
+
+def test_resume_skips_stages_and_matches(tmp_path, rng, monkeypatch):
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), _genome_reads(rng))
+    ckdir = str(tmp_path / "ck")
+
+    cfg = CompressorConfig(checkpoint_dir=ckdir)
+    compressor.compress(str(fq), str(tmp_path / "a.mtc"), cfg)
+    assert sorted(os.listdir(ckdir)) == ["cluster.npz", "merge.npz",
+                                         "realign.npz"]
+
+    # a rerun must not touch the completed stages at all
+    def _boom(*a, **k):
+        raise AssertionError("stage re-ran despite checkpoint")
+    monkeypatch.setattr(compressor.cluster_mod, "cluster_rounds", _boom)
+    monkeypatch.setattr(compressor, "merge_contigs", _boom)
+    monkeypatch.setattr(compressor, "realign_ladder", _boom)
+    st = StageStats()
+    compressor.compress(str(fq), str(tmp_path / "b.mtc"),
+                        CompressorConfig(checkpoint_dir=ckdir), stats=st)
+    assert st.counters["resumed_from"] == "realign"
+    assert (tmp_path / "a.mtc").read_bytes() == (tmp_path / "b.mtc").read_bytes()
+
+
+def test_partial_resume_from_cluster(tmp_path, rng):
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), _genome_reads(rng))
+    ckdir = str(tmp_path / "ck")
+    compressor.compress(str(fq), str(tmp_path / "a.mtc"),
+                        CompressorConfig(checkpoint_dir=ckdir))
+    # as if the run crashed during merge: only the cluster snapshot exists
+    os.unlink(os.path.join(ckdir, "merge.npz"))
+    os.unlink(os.path.join(ckdir, "realign.npz"))
+    st = StageStats()
+    compressor.compress(str(fq), str(tmp_path / "b.mtc"),
+                        CompressorConfig(checkpoint_dir=ckdir), stats=st)
+    assert st.counters["resumed_from"] == "cluster"
+    assert "cluster" not in st.timings and "merge" in st.timings
+    assert (tmp_path / "a.mtc").read_bytes() == (tmp_path / "b.mtc").read_bytes()
+
+
+def test_stale_checkpoints_ignored(tmp_path, rng):
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), _genome_reads(rng))
+    ckdir = str(tmp_path / "ck")
+    compressor.compress(str(fq), str(tmp_path / "a.mtc"),
+                        CompressorConfig(checkpoint_dir=ckdir))
+
+    # different parameters -> fingerprint mismatch -> full recompute
+    st = StageStats()
+    compressor.compress(str(fq), str(tmp_path / "b.mtc"),
+                        CompressorConfig(checkpoint_dir=ckdir,
+                                         diff_threshold=6), stats=st)
+    assert "resumed_from" not in st.counters
+    assert "cluster" in st.timings
+
+    # different input content (same length) -> also ignored
+    fq2 = tmp_path / "in2.fastq"
+    write_fastq(str(fq2), _genome_reads(np.random.default_rng(5)))
+    st = StageStats()
+    compressor.compress(str(fq2), str(tmp_path / "c.mtc"),
+                        CompressorConfig(checkpoint_dir=ckdir), stats=st)
+    assert "resumed_from" not in st.counters
+
+
+def test_corrupt_checkpoint_recomputed(tmp_path, rng):
+    fq = tmp_path / "in.fastq"
+    write_fastq(str(fq), _genome_reads(rng))
+    ckdir = str(tmp_path / "ck")
+    compressor.compress(str(fq), str(tmp_path / "a.mtc"),
+                        CompressorConfig(checkpoint_dir=ckdir))
+    with open(os.path.join(ckdir, "realign.npz"), "wb") as f:
+        f.write(b"garbage")
+    st = StageStats()
+    compressor.compress(str(fq), str(tmp_path / "b.mtc"),
+                        CompressorConfig(checkpoint_dir=ckdir), stats=st)
+    # falls back to the merge snapshot, reruns realign only
+    assert st.counters["resumed_from"] == "merge"
+    assert (tmp_path / "a.mtc").read_bytes() == (tmp_path / "b.mtc").read_bytes()
