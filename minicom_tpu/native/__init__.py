@@ -19,7 +19,8 @@ _SO = os.path.join(_DIR, "_native.so")
 _SRCS = [os.path.join(_DIR, "diffcodec.cpp"),
          os.path.join(_DIR, "rangecoder.cpp"),
          os.path.join(_DIR, "realign.cpp"),
-         os.path.join(_DIR, "fastq.cpp")]
+         os.path.join(_DIR, "fastq.cpp"),
+         os.path.join(_DIR, "consensus.cpp")]
 
 _lib = None
 
@@ -107,6 +108,14 @@ def _load():
                                        ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_int32, ctypes.c_void_p]
+        lib.consensus_host.restype = None
+        lib.consensus_host.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_void_p,
+                                       ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int, ctypes.c_void_p,
+                                       ctypes.c_void_p]
         _lib = lib
     else:
         _lib = False
@@ -343,6 +352,34 @@ def score_overlaps(ref_flat: np.ndarray, ref_ptr: np.ndarray,
                            a.ctypes.data, b.ctypes.data, d.ctypes.data,
                            n, cap, out.ctypes.data)
     return out
+
+
+def consensus_host(codes_sub: np.ndarray, rid2d: np.ndarray, col: np.ndarray,
+                   segptr: np.ndarray, colptr: np.ndarray, span: int,
+                   want_ref: bool, want_diffs: bool):
+    """Segmented majority-vote consensus + member diffs on the host
+    (consensus.cpp — the single-chip twin of ops/consensus.py's device
+    kernels; identical tie rule, so both paths produce identical archives).
+    Returns (ref[span] uint8 or None, diffs[M] int32 or None), or None when
+    the native lib is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    codes_sub = _as_c(codes_sub)
+    rid2d = np.ascontiguousarray(rid2d, np.int32)
+    col = np.ascontiguousarray(col, np.int64)
+    segptr = np.ascontiguousarray(segptr, np.int64)
+    colptr = np.ascontiguousarray(colptr, np.int64)
+    M = len(rid2d)
+    ref = np.empty(span, np.uint8)
+    diffs = np.empty(M, np.int32) if want_diffs else np.empty(0, np.int32)
+    want = (1 if want_ref else 0) | (2 if want_diffs else 0)
+    lib.consensus_host(codes_sub.ctypes.data, codes_sub.shape[0],
+                       codes_sub.shape[1], rid2d.ctypes.data,
+                       col.ctypes.data, M, segptr.ctypes.data,
+                       colptr.ctypes.data, len(segptr) - 1, span, want,
+                       ref.ctypes.data, diffs.ctypes.data)
+    return (ref if want_ref else None), (diffs if want_diffs else None)
 
 
 def set_threads(n: int) -> None:

@@ -89,28 +89,34 @@ def member_diffs_packed_rid(packed: jnp.ndarray, codes_all: jnp.ndarray,
 
 # ---- packed-upload variants -------------------------------------------------
 # The tunneled chip charges ~30ms latency per host->device array exactly as
-# it does per device->host array, so member chunks travel as ONE [n, 4, step]
-# int32 upload: rows are (rid, dir, col_base, offset).
+# it does per device->host array, AND ~60 MB/s of upload bandwidth, so member
+# chunks travel as ONE [n, 2, step] int32 upload of 8 bytes/member: row 0 is
+# rid*2+dir, row 1 the member's absolute start column (col_base + offset —
+# the only way any kernel ever uses the two; padding members carry a column
+# >= total_cols so their scatters drop and their diffs are garbage).
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def scatter_counts_rid_u(table: jnp.ndarray, codes_all: jnp.ndarray,
                          u: jnp.ndarray) -> jnp.ndarray:
-    return scatter_counts_rid(table, codes_all, u[0], u[1].astype(jnp.int8),
-                              u[2], u[3])
+    return scatter_counts_rid(table, codes_all, u[0] >> 1,
+                              (u[0] & 1).astype(jnp.int8), u[1],
+                              jnp.zeros_like(u[1]))
 
 
 @jax.jit
 def member_diffs_packed_rid_u(packed: jnp.ndarray, codes_all: jnp.ndarray,
                               u: jnp.ndarray) -> jnp.ndarray:
-    return member_diffs_packed_rid(packed, codes_all, u[0],
-                                   u[1].astype(jnp.int8), u[2], u[3])
+    return member_diffs_packed_rid(packed, codes_all, u[0] >> 1,
+                                   (u[0] & 1).astype(jnp.int8), u[1],
+                                   jnp.zeros_like(u[1]))
 
 
 @functools.partial(jax.jit, static_argnames=("total_cols",))
 def consensus_fused_rid_u(codes_all: jnp.ndarray, u: jnp.ndarray,
                           total_cols: int):
-    return consensus_fused_rid(codes_all, u[0], u[1].astype(jnp.int8),
-                               u[2], u[3], total_cols)
+    return consensus_fused_rid(codes_all, u[0] >> 1,
+                               (u[0] & 1).astype(jnp.int8), u[1],
+                               jnp.zeros_like(u[1]), total_cols)
 
 
 @jax.jit

@@ -220,3 +220,25 @@ def sketch_windowed_gather_pallas(ref_flat: jnp.ndarray, starts: jnp.ndarray,
         hi.reshape(-1), lo.reshape(-1),
         jax.lax.bitcast_convert_type(meta.reshape(-1), jnp.uint32),
         jax.lax.bitcast_convert_type(nv, jnp.uint32)])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "m", "Lmax", "interpret"))
+def sketch_windowed_gather_pallas32(ref_flat: jnp.ndarray,
+                                    starts: jnp.ndarray,
+                                    lengths: jnp.ndarray, k: int, w: int,
+                                    m: int, Lmax: int,
+                                    interpret: bool = False):
+    """Pallas counterpart of sketch_windowed_gather_compact32: 32-bit hashed
+    key buffer mix32(kmer) | meta | nvalid (the merge stage verifies every
+    candidate pair against the real bases, so hash collisions are safe)."""
+    from minicom_tpu.ops.sketch import mix32
+    idx = starts[:, None].astype(jnp.int32) \
+        + np.arange(Lmax, dtype=np.int32)[None, :]
+    codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
+    hi, lo, meta, nv = sketch_windowed_pallas(codes, lengths, k, w, m,
+                                              interpret=interpret)
+    return jnp.concatenate([
+        mix32(hi, lo).reshape(-1),
+        jax.lax.bitcast_convert_type(meta.reshape(-1), jnp.uint32),
+        jax.lax.bitcast_convert_type(nv, jnp.uint32)])

@@ -250,6 +250,29 @@ def sketch_windowed_gather_compact(ref_flat: jnp.ndarray, starts: jnp.ndarray,
         jax.lax.bitcast_convert_type(nv, jnp.uint32)])
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w", "m", "Lmax"))
+def sketch_windowed_gather_compact32(ref_flat: jnp.ndarray,
+                                     starts: jnp.ndarray,
+                                     lengths: jnp.ndarray, k: int, w: int,
+                                     m: int, Lmax: int):
+    """sketch_windowed_gather_compact with a 32-bit HASHED k-mer key:
+    buffer [2*C*m + C] = mix32(kmer) | (end_pos << 1 | strand) | nvalid.
+    Halves the per-slot download vs the exact 64-bit key. For the merge
+    stage a hash key is safe: a collision only creates a spurious candidate
+    pair, and every pair is verified against the real base overlap before
+    merging (pipeline/merge.py::_score_pairs)."""
+    idx = starts[:, None].astype(jnp.int32) + np.arange(Lmax, dtype=np.int32)[None, :]
+    codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
+    h, hi, lo, pos, strand, valid = _sketch_windowed_body(
+        codes, lengths, k, w, m)
+    meta = (pos << 1) | strand.astype(jnp.int32)
+    nv = valid.sum(axis=1, dtype=jnp.int32)
+    return jnp.concatenate([
+        mix32(hi, lo).reshape(-1),
+        jax.lax.bitcast_convert_type(meta.reshape(-1), jnp.uint32),
+        jax.lax.bitcast_convert_type(nv, jnp.uint32)])
+
+
 @functools.partial(jax.jit, static_argnames=("k", "w", "m"))
 def sketch_windowed(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int, m: int):
     """(w,k)-minimizers with tie emission, first ``m`` per sequence.

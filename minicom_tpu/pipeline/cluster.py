@@ -34,7 +34,8 @@ from minicom_tpu.ops.consensus import (consensus_finalize,
 from minicom_tpu.ops.pack import unpack_2bit_words
 from minicom_tpu.ops.sketch import sketch_reads_dyn_gather_packed
 from minicom_tpu.parallel import distributed as dist
-from minicom_tpu.parallel.mesh import fetch, replicate, shard_last, shard_rows
+from minicom_tpu.parallel.mesh import (active_mesh as mesh_active, fetch,
+                                       replicate, shard_last, shard_rows)
 
 
 @dataclasses.dataclass
@@ -112,7 +113,8 @@ def _pow4(n: int) -> int:
 def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray,
                            rids: np.ndarray, dirs: np.ndarray,
                            n_segments: int, codes_dev,
-                           want_ref: bool = True, want_diffs: bool = True):
+                           want_ref: bool = True, want_diffs: bool = True,
+                           codes_host: np.ndarray | None = None):
     """Batched consensus over CSR-grouped members (seg_id sorted ascending).
 
     Members are (rid, dir) references into the DEVICE-RESIDENT read store
@@ -146,6 +148,27 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
     s0, s1 = dist.my_partition(seg_members)
     m0, m1 = int(seg_bounds[s0]), int(seg_bounds[s1])
     col0, col1 = int(ref_ptr[s0]), int(ref_ptr[s1])
+
+    # single-chip fast path: the tunneled chip's XLA scatter-add costs ~2s
+    # per million-member pass, so without an active device mesh the counting
+    # runs in the native host kernel (consensus.cpp — identical argmax tie
+    # rule, identical bytes; the sharded/multichip runs keep the device
+    # kernels and the dryrun asserts both paths produce equal archives)
+    if codes_host is not None and mesh_active() is None:
+        from minicom_tpu import native
+        res = native.consensus_host(
+            codes_host,
+            (np.asarray(rids[m0:m1], np.int64) * 2
+             + dirs[m0:m1]).astype(np.int32),
+            ref_ptr[seg_id[m0:m1]] - col0 + offsets[m0:m1],
+            seg_bounds[s0:s1 + 1] - m0, ref_ptr[s0:s1 + 1] - col0,
+            col1 - col0, want_ref, want_diffs)
+        if res is not None:
+            my_ref, my_diffs = res
+            ref_flat = dist.allgather_ragged(my_ref) if want_ref else None
+            diffs = dist.allgather_ragged(my_diffs) if want_diffs else None
+            return ref_flat, ref_ptr, diffs
+
     my_ref, my_diffs = _consensus_chunk(
         L, base_all_lo=(ref_ptr[seg_id[m0:m1]] - col0).astype(np.int32),
         offsets=offsets[m0:m1], rids=rids[m0:m1], dirs=dirs[m0:m1],
@@ -175,17 +198,13 @@ def _consensus_chunk(L, base_all_lo, offsets, rids, dirs, span, codes_dev,
     step = small if M <= small else big
     n_chunks = (M + step - 1) // step
     T = n_chunks * step
-    rid_f = np.zeros(T, np.int32)
-    rid_f[:M] = rids
-    dr_f = np.zeros(T, np.int32)
-    dr_f[:M] = dirs
-    base_f = np.full(T, Tp, np.int32)  # padding members scatter out of range
-    base_f[:M] = base_all_lo
-    off_f = np.zeros(T, np.int32)
-    off_f[:M] = offsets
+    rd_f = np.zeros(T, np.int32)  # rid*2 + dir (rid < 2^30: see load guard)
+    rd_f[:M] = np.asarray(rids, np.int64) * 2 + dirs
+    col_f = np.full(T, Tp, np.int32)  # padding members scatter out of range
+    col_f[:M] = base_all_lo + offsets
     u = np.ascontiguousarray(
-        np.stack([rid_f, dr_f, base_f, off_f])
-        .reshape(4, n_chunks, step).transpose(1, 0, 2))
+        np.stack([rd_f, col_f])
+        .reshape(2, n_chunks, step).transpose(1, 0, 2))
     u_dev = shard_last(jnp.asarray(u))  # ONE upload
 
     if n_chunks == 1:  # one fused dispatch
@@ -285,7 +304,8 @@ def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig,
 
         h, mpos, strand = _sketch(pending, codes_dev, k_round, L)
         cs, singles, ejected, nreads = _one_round(
-            codes_dev, pending, h, mpos, strand, cfg.diff_threshold, L)
+            codes_dev, codes_sub, pending, h, mpos, strand,
+            cfg.diff_threshold, L)
         results.append(cs)
         sg_parts.append(singles)
         cluster_reads_total += nreads
@@ -313,7 +333,7 @@ def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig,
     return ClusterSet.concat(results), np.concatenate(sg_parts)
 
 
-def _one_round(codes_dev, rids, h, mpos, strand, e, L):
+def _one_round(codes_dev, codes_host, rids, h, mpos, strand, e, L):
     """One bucket round: sort -> segments -> consensus -> ejection.
 
     Returns (ClusterSet, singles, ejected, n_clustered_reads).
@@ -342,7 +362,8 @@ def _one_round(codes_dev, rids, h, mpos, strand, e, L):
     off = (mpos2[first_idx][seg2] - mpos2).astype(np.int32)
 
     _ref, _rptr, diffs = consensus_from_members(
-        L, seg2, off, rids2, strand2, n2, codes_dev, want_ref=False)
+        L, seg2, off, rids2, strand2, n2, codes_dev, want_ref=False,
+        codes_host=codes_host)
 
     surv = diffs <= e
     ejected = rids2[~surv]
@@ -369,7 +390,7 @@ def _one_round(codes_dev, rids, h, mpos, strand, e, L):
 
     refF, rptrF, _ = consensus_from_members(
         L, segF, offF, rids2[final], strand2[final], nF, codes_dev,
-        want_diffs=False)
+        want_diffs=False, codes_host=codes_host)
     cptr = np.zeros(nF + 1, np.int64)
     np.cumsum(np.bincount(segF, minlength=nF), out=cptr[1:])
     cs = ClusterSet(L, rids2[final], offF, strand2[final], cptr, refF, rptrF)

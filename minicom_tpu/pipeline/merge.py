@@ -26,7 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from minicom_tpu.config import ResolvedConfig
-from minicom_tpu.ops.sketch import sketch_windowed_gather_compact
+from minicom_tpu.ops.sketch import sketch_windowed_gather_compact32
 from minicom_tpu.parallel import distributed as dist
 import os
 
@@ -35,15 +35,18 @@ def _sketch_gather_fn():
     """Pick the contig-sketch kernel: the Pallas VMEM-resident kernel on a
     real TPU backend (parity-tested vs the XLA path,
     tests/test_sketch.py::test_pallas_windowed_matches_xla), the XLA windowed
-    sketch elsewhere. Both return the transfer-minimal (hi, lo, meta, nv)
-    set. MTC_PALLAS_SKETCH=0/1 overrides."""
+    sketch elsewhere. Both return the transfer-minimal 32-bit-hashed-key
+    (key32, meta, nv) buffer — every candidate pair is verified against the
+    real bases, so hashed grouping keys are safe and halve the download.
+    MTC_PALLAS_SKETCH=0/1 overrides."""
     import jax
     env = os.environ.get("MTC_PALLAS_SKETCH")
     use = (jax.default_backend() != "cpu") if env is None else env == "1"
     if use:
-        from minicom_tpu.ops.pallas_sketch import sketch_windowed_gather_pallas
-        return sketch_windowed_gather_pallas
-    return sketch_windowed_gather_compact
+        from minicom_tpu.ops.pallas_sketch import (
+            sketch_windowed_gather_pallas32)
+        return sketch_windowed_gather_pallas32
+    return sketch_windowed_gather_compact32
 
 
 def _batch_m(Lmax: int, k: int, w: int) -> int:
@@ -106,7 +109,7 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int):
     C = cs.n_clusters
     if C == 0 or len(cs.ref_flat) == 0:
         z = np.zeros(0, np.int64)
-        return (np.zeros(0, np.uint64), z, z.astype(np.int32),
+        return (np.zeros(0, np.uint32), z, z.astype(np.int32),
                 z.astype(np.int8), z.astype(np.int32))
     order = np.argsort(lens, kind="stable")
 
@@ -150,18 +153,16 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int):
             jnp.asarray(lens_pad), k, min(w, Lmax - k + 1), mb, Lmax)
         outs.append((batch, nb, nb_pad, mb, out))
     keys, cids, poss, dirs, ranks = [[np.zeros(0, d)] for d in
-                                     (np.uint64, np.int64, np.int32,
+                                     (np.uint32, np.int64, np.int32,
                                       np.int8, np.int32)]
     flat = fetch([out for (_, _, _, _, out) in outs])
     for (batch, nb, nb_pad, mb, _), buf in zip(outs, flat):
-        # buf layout: hi | lo | meta | nv (sketch_windowed_gather_compact)
+        # buf layout: key32 | meta | nv (sketch_windowed_gather_compact32)
         cm = nb_pad * mb
-        hi = buf[:cm].reshape(nb_pad, mb)[:nb]
-        lo = buf[cm:2 * cm].reshape(nb_pad, mb)[:nb]
-        meta = buf[2 * cm:3 * cm].view(np.int32).reshape(nb_pad, mb)[:nb]
-        nv = buf[3 * cm:].view(np.int32)[:nb]
+        key = buf[:cm].reshape(nb_pad, mb)[:nb]
+        meta = buf[cm:2 * cm].view(np.int32).reshape(nb_pad, mb)[:nb]
+        nv = buf[2 * cm:].view(np.int32)[:nb]
         v = (np.arange(mb, dtype=np.int32)[None, :] < nv[:, None])
-        key = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
         cid = np.broadcast_to(batch[:, None], v.shape)
         rank = np.broadcast_to(np.arange(mb, dtype=np.int32)[None, :],
                                v.shape)

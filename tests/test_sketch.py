@@ -166,3 +166,29 @@ def test_pallas_windowed_matches_xla(rng):
         np.testing.assert_array_equal(lo[valid], glo[gv])
         np.testing.assert_array_equal(
             (pos[valid] << 1) | strand[valid], gmeta[gv])
+
+
+def test_gather32_pallas_matches_xla(rng):
+    """The 32-bit hashed-key gather wrappers (merge's actual entry points)
+    produce identical buffers: Pallas interpret mode vs the XLA path."""
+    import jax.numpy as jnp
+    from minicom_tpu.ops.pallas_sketch import sketch_windowed_gather_pallas32
+    from minicom_tpu.ops.sketch import sketch_windowed_gather_compact32
+
+    ref = rng.integers(0, 4, 2048, dtype=np.uint8)
+    starts = np.array([0, 100, 400, 1200, 30, 900, 50, 333], np.int32)
+    lengths = np.array([90, 250, 700, 800, 64, 128, 40, 511], np.int32)
+    k, w, m, Lmax = 17, 11, 48, 1024
+    a = np.asarray(sketch_windowed_gather_compact32(
+        jnp.asarray(ref), jnp.asarray(starts), jnp.asarray(lengths),
+        k, w, m, Lmax))
+    b = np.asarray(sketch_windowed_gather_pallas32(
+        jnp.asarray(ref), jnp.asarray(starts), jnp.asarray(lengths),
+        k, w, m, Lmax, interpret=True))
+    C = len(starts)
+    cm = C * m
+    nv = a[2 * cm:].view(np.int32)
+    v = (np.arange(m)[None, :] < nv[:, None]).reshape(-1)
+    np.testing.assert_array_equal(a[2 * cm:], b[2 * cm:])      # counts
+    np.testing.assert_array_equal(a[:cm][v], b[:cm][v])        # keys
+    np.testing.assert_array_equal(a[cm:2 * cm][v], b[cm:2 * cm][v])  # meta
