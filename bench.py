@@ -23,6 +23,27 @@ import time
 import numpy as np
 
 
+def _repeat_genome(rng, size: int) -> np.ndarray:
+    """Random genome with realistic repeat structure: ~30% of 2 kb segments
+    are near-copies (0.5% divergence) of earlier segments. Repeats are where
+    minimizer-sharing across loci stresses the merge search (the reference's
+    real inputs are repeat-rich genomes; a uniform-random genome understates
+    candidate fan-out and overlap-scoring cost)."""
+    seg = 2000
+    n_seg = max(1, size // seg)
+    parts = [rng.integers(0, 4, seg, dtype=np.uint8)]
+    for _ in range(1, n_seg):
+        if len(parts) > 1 and rng.random() < 0.30:
+            src = parts[int(rng.integers(0, len(parts)))]
+            dup = src.copy()
+            mut = rng.random(seg) < 0.005
+            dup[mut] = (dup[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+            parts.append(dup)
+        else:
+            parts.append(rng.integers(0, 4, seg, dtype=np.uint8))
+    return np.concatenate(parts)[:size]
+
+
 def make_dataset(path: str, n_reads: int, L: int = 100,
                  coverage_genome: int = 0, err: float = 0.01,
                  seed: int = 7) -> int:
@@ -31,7 +52,7 @@ def make_dataset(path: str, n_reads: int, L: int = 100,
     if not coverage_genome:
         coverage_genome = max(400_000, n_reads * L // 50)
     rng = np.random.default_rng(seed)
-    genome = rng.integers(0, 4, coverage_genome, dtype=np.uint8)
+    genome = _repeat_genome(rng, coverage_genome)
     starts = rng.integers(0, coverage_genome - L, n_reads)
     reads = genome[starts[:, None] + np.arange(L)]
     em = rng.random((n_reads, L)) < err
@@ -80,9 +101,12 @@ def main():
     t0 = time.time()
     compressor.compress(fq, arc)
     cold_s = time.time() - t0
+    from minicom_tpu.parallel import mesh
+    mesh.reset_device_seconds()
     t0 = time.time()
     summary = compressor.compress(fq, arc)
     warm_s = time.time() - t0
+    device_s = mesh.device_seconds()
     mtc_bytes = os.path.getsize(arc)
 
     t0 = time.time()
@@ -129,6 +153,12 @@ def main():
         "roundtrip_exact": bool(roundtrip_ok),
         "n_reads": n_reads,
         "peak_rss_bytes_per_base": round(peak_rss / (seq_bytes - n_reads), 2),
+        # wall time the host spent blocked on device transfers/compute during
+        # the warm encode — the measured TPU share of the single-chip path
+        "device_time_fraction": round(device_s / warm_s, 4),
+        "stage_s": {k: round(v, 3) for k, v in summary["timings_s"].items()},
+        "merge_probe_drops": summary.get("merge_probe_drops", 0),
+        "merge_rank_saturated": summary.get("merge_rank_saturated", 0),
         **ref,
     }
     print(json.dumps(result))

@@ -84,6 +84,7 @@ def _compress(reads_path, out_path, cfg, reads_path2, stats) -> dict:
             stats.set("resumed_from", done)
     rank = {"cluster": 1, "merge": 2, "realign": 3}.get(done, 0)
 
+    codes_dev = None
     if rank < 1:
         # upload the (N-substituted) read store to device ONCE; all cluster
         # rounds gather from it by rid (13 B/member host->device instead of
@@ -94,7 +95,6 @@ def _compress(reads_path, out_path, cfg, reads_path2, stats) -> dict:
         with stats.stage("cluster"):
             cset, sg = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool,
                                                   rcfg, codes_dev)
-        del codes_dev
         if ck:
             ck.save("cluster", cset, sg)
     stats.set("clusters_initial", cset.n_clusters)
@@ -105,9 +105,12 @@ def _compress(reads_path, out_path, cfg, reads_path2, stats) -> dict:
 
     if rank < 2:
         with stats.stage("merge"):
-            cset = merge_contigs(cset, rcfg, stats.counters)
+            cset = merge_contigs(cset, rcfg, stats.counters,
+                                 codes_host=cls.codes_sub,
+                                 codes_dev=codes_dev)
         if ck:
             ck.save("merge", cset, sg)
+    del codes_dev
     stats.set("clusters_merged", cset.n_clusters)
     stats.set("consensus_bases", int(cset.ref_ptr[-1]))
 

@@ -45,6 +45,17 @@ class CompressorConfig:
     # kthread_hash_realign.c:360), so neither is a config knob.
     max_search: int = 500           # realign candidates scanned per probe
 
+    # contig-merge fidelity/breadth knobs. merge_revote=True rebuilds each
+    # merged contig's consensus by re-voting ALL members (the reference's
+    # construct_ref2, kthread_cb.c:105-218); False splices the two old
+    # consensus strings with a coverage vote (faster, ~0.3% larger archives).
+    # merge_rank_cap / merge_probe_cap bound minimizers probed per contig and
+    # index hits walked per probe (0 = auto defaults; the reference bounds
+    # neither, kthread_cb.c:267-274 — drops are counted in the run summary).
+    merge_revote: bool = True
+    merge_rank_cap: int = 0
+    merge_probe_cap: int = 0
+
     # entropy backend: "auto" (best of xz/o1rc per stream) | "xz" | "o1rc"
     # | "bz2" | "zlib" | "store"
     codec: str = "auto"
@@ -98,6 +109,9 @@ class CompressorConfig:
             dicts_centered=centered, max_rounds=self.max_rounds,
             max_search=max_search, order=self.order, paired=self.paired,
             threads=self.threads, codec=self.codec,
+            merge_revote=self.merge_revote,
+            merge_rank_cap=self.merge_rank_cap or 128,
+            merge_probe_cap=self.merge_probe_cap or 64,
         )
 
 
@@ -122,6 +136,9 @@ class ResolvedConfig:
     order: bool
     paired: bool
     codec: str
+    merge_revote: bool = True
+    merge_rank_cap: int = 128
+    merge_probe_cap: int = 64
 
     def dict_ranges(self) -> list[tuple[int, int]]:
         """[start, end] (inclusive) base ranges of the realign key dictionaries.

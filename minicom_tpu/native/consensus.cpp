@@ -10,6 +10,13 @@
 // the device kernel's jnp.argmax rule — so both paths emit identical
 // consensus bytes and the archive does not depend on which one ran.
 //
+// Memory: counting uses a PER-THREAD scratch table sized to the largest
+// single segment the thread processes (grown geometrically), NOT a
+// span*16-byte global table — peak scratch is O(threads * max_contig_span)
+// regardless of how many segments a pass carries, so an SRR-scale first
+// round (hundreds of millions of consensus columns) costs megabytes, not
+// gigabytes.
+//
 // consensus_host:
 //   codes  [N, L] uint8 base codes (0..3; N already substituted)
 //   rid2d  [M] int32 = rid*2 + dir   (dir 1 = reverse complement)
@@ -36,7 +43,8 @@ void consensus_host(const uint8_t* codes, int64_t N, int64_t L,
                     int64_t span, int want,
                     uint8_t* out_ref, int32_t* out_diffs) {
     (void)N;
-    std::vector<uint32_t> counts((size_t)span * 4, 0u);
+    (void)M;
+    (void)span;
 
 #ifdef _OPENMP
 #pragma omp parallel
@@ -49,12 +57,20 @@ void consensus_host(const uint8_t* codes, int64_t N, int64_t L,
         int nt = 1, t = 0;
 #endif
         // split SEGMENTS (not members) across threads: each segment's
-        // columns are disjoint, so counting needs no atomics
+        // columns are disjoint, so counting needs no atomics; the scratch
+        // count table is per-thread and sized to one segment at a time
+        std::vector<uint32_t> counts;
         int64_t c0 = C * t / nt, c1 = C * (t + 1) / nt;
         for (int64_t c = c0; c < c1; ++c) {
+            const int64_t cbase = colptr[c];
+            const int64_t cspan = colptr[c + 1] - cbase;
+            if (cspan <= 0) continue;
+            if ((int64_t)counts.size() < cspan * 4)
+                counts.resize((size_t)cspan * 4);
+            std::memset(counts.data(), 0, (size_t)cspan * 4 * sizeof(uint32_t));
             for (int64_t m = segptr[c]; m < segptr[c + 1]; ++m) {
                 const uint8_t* r = codes + (int64_t)(rid2d[m] >> 1) * L;
-                uint32_t* cnt = counts.data() + (size_t)col[m] * 4;
+                uint32_t* cnt = counts.data() + (size_t)(col[m] - cbase) * 4;
                 if (rid2d[m] & 1) {       // reverse complement
                     for (int64_t j = 0; j < L; ++j)
                         ++cnt[j * 4 + (3 - r[L - 1 - j])];
@@ -64,25 +80,26 @@ void consensus_host(const uint8_t* codes, int64_t N, int64_t L,
                 }
             }
             // consensus for this segment's columns (ties -> lowest code)
-            for (int64_t p = colptr[c]; p < colptr[c + 1]; ++p) {
+            uint8_t* ref = out_ref + cbase;
+            for (int64_t p = 0; p < cspan; ++p) {
                 const uint32_t* cnt = counts.data() + (size_t)p * 4;
                 uint8_t best = 0;
                 uint32_t bv = cnt[0];
                 for (uint8_t b = 1; b < 4; ++b)
                     if (cnt[b] > bv) { bv = cnt[b]; best = b; }
-                out_ref[p] = best;
+                ref[p] = best;
             }
             if (want & 2) {
                 for (int64_t m = segptr[c]; m < segptr[c + 1]; ++m) {
                     const uint8_t* r = codes + (int64_t)(rid2d[m] >> 1) * L;
-                    const uint8_t* ref = out_ref + col[m];
+                    const uint8_t* rf = out_ref + col[m];
                     int32_t d = 0;
                     if (rid2d[m] & 1) {
                         for (int64_t j = 0; j < L; ++j)
-                            d += ref[j] != (uint8_t)(3 - r[L - 1 - j]);
+                            d += rf[j] != (uint8_t)(3 - r[L - 1 - j]);
                     } else {
                         for (int64_t j = 0; j < L; ++j)
-                            d += ref[j] != r[j];
+                            d += rf[j] != r[j];
                     }
                     out_diffs[m] = d;
                 }

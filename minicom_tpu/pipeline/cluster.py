@@ -169,6 +169,10 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
             diffs = dist.allgather_ragged(my_diffs) if want_diffs else None
             return ref_flat, ref_ptr, diffs
 
+    if codes_dev is None:  # native unavailable: upload the store on demand
+        from minicom_tpu.parallel.mesh import upload_read_store
+        codes_dev = upload_read_store(codes_host)
+
     my_ref, my_diffs = _consensus_chunk(
         L, base_all_lo=(ref_ptr[seg_id[m0:m1]] - col0).astype(np.int32),
         offsets=offsets[m0:m1], rids=rids[m0:m1], dirs=dirs[m0:m1],

@@ -49,24 +49,24 @@ def _sketch_gather_fn():
     return sketch_windowed_gather_compact32
 
 
-def _batch_m(Lmax: int, k: int, w: int) -> int:
+def _batch_m(Lmax: int, k: int, w: int, cap: int) -> int:
     """Probe slots per contig for an Lmax bucket: expected emission density
     is ~2S/(w+1) (+ties), so short-contig batches — the bulk of the rows —
-    need far fewer than _RANK_CAP slots. Fewer slots = fewer padded bytes
+    need far fewer than ``cap`` slots. Fewer slots = fewer padded bytes
     through the tunnel. Deterministic per bucket, so archives stay
     device/process-count independent (the batch plan is itself a pure
-    function of the contig lengths)."""
+    function of the contig lengths). ``cap`` bounds the slots for the
+    longest contigs (cfg.merge_rank_cap; the reference probes with EVERY
+    own minimizer, kthread_cb.c:267-274 — rank-cap drops are counted in
+    the run summary as merge_rank_drops)."""
     S = max(Lmax - k + 1, 1)
-    m = min(_RANK_CAP, max(8, int(2.2 * S / (w + 1)) + 8))
-    return min(_RANK_CAP, (m + 7) & ~7)
+    m = min(cap, max(8, int(2.2 * S / (w + 1)) + 8))
+    return min(cap, (m + 7) & ~7)
 from minicom_tpu.parallel.mesh import fetch, replicate
 from minicom_tpu.pipeline.cluster import ClusterSet
 
-_RANK_CAP = 48         # minimizers kept per contig for PROBING (the
-                       # reference probes with every own minimizer,
-                       # kthread_cb.c:267-274; 48 covers contigs well past
-                       # the lengths seen before merging converges)
-_MAX_PER_PROBE = 24    # index hits paired per probe entry (drops logged)
+_RANK_CAP = 128        # default minimizers kept per contig for probing
+_MAX_PER_PROBE = 64    # default index hits paired per probe (drops logged)
 _SKETCH_BUDGET = 1 << 26  # uint8 elements per padded sketch batch
 
 
@@ -90,7 +90,8 @@ def _select(cs: ClusterSet, idx: np.ndarray) -> ClusterSet:
                       cs.mem_dir[mem_idx], cptr, cs.ref_flat[ref_idx], rptr)
 
 
-def sketch_contigs(cs: ClusterSet, k: int, w: int):
+def sketch_contigs(cs: ClusterSet, k: int, w: int,
+                   rank_cap: int = _RANK_CAP, stats: dict | None = None):
     """Windowed minimizers of every contig, length-bucketed batches.
 
     The flat contig stream is uploaded to device ONCE (pow2-padded); each
@@ -118,16 +119,17 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int):
     plan = []
     i = 0
     while i < C:
-        # batch shapes in pow2 buckets (Lmax and row count) — the XLA program
-        # set stays small and data-independent, and the persistent compile
-        # cache makes each (rows, Lmax) variant a one-time cost; pow2 row
-        # padding avoids burning a full fixed-size tier on tiny batches
+        # batch shapes in pow2 Lmax buckets with exactly TWO row tiers per
+        # bucket (256 and the budget cap): every fresh XLA/Mosaic program
+        # costs seconds-to-minutes of server compile through the tunnel, so
+        # the program zoo is kept at ~2 per Lmax instead of a pow2 row
+        # ladder; the padded-row compute waste is bounded by one small tier
         Lmax = max(_pow2(max(int(lens[order[i]]), k + 1)), 128)
-        max_rows = max(64, _SKETCH_BUDGET // Lmax)
+        max_rows = max(256, _SKETCH_BUDGET // Lmax)
         j = i
         while j < C and j - i < max_rows and lens[order[j]] <= Lmax:
             j += 1
-        nb_pad = min(_pow2(max(j - i, 64)), max_rows)
+        nb_pad = 256 if j - i <= 256 else max_rows
         plan.append((i, j, Lmax, nb_pad))
         i = j
     b0, b1 = dist.my_partition(np.array([p[3] * p[2] for p in plan]))
@@ -147,7 +149,7 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int):
         starts[:nb] = cs.ref_ptr[batch]
         lens_pad = np.zeros(nb_pad, np.int32)
         lens_pad[:nb] = lens[batch]
-        mb = _batch_m(Lmax, k, w)
+        mb = _batch_m(Lmax, k, w, rank_cap)
         out = sketch_fn(
             ref_dev, jnp.asarray(starts.astype(np.int32)),
             jnp.asarray(lens_pad), k, min(w, Lmax - k + 1), mb, Lmax)
@@ -162,6 +164,11 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int):
         key = buf[:cm].reshape(nb_pad, mb)[:nb]
         meta = buf[cm:2 * cm].view(np.int32).reshape(nb_pad, mb)[:nb]
         nv = buf[2 * cm:].view(np.int32)[:nb]
+        if stats is not None:
+            # rows whose slot budget saturated (true emission count unknown
+            # past mb) — the honest drop signal for the rank cap
+            stats["merge_rank_saturated"] = (
+                stats.get("merge_rank_saturated", 0) + int((nv >= mb).sum()))
         v = (np.arange(mb, dtype=np.int32)[None, :] < nv[:, None])
         cid = np.broadcast_to(batch[:, None], v.shape)
         rank = np.broadcast_to(np.arange(mb, dtype=np.int32)[None, :],
@@ -179,7 +186,7 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int):
 
 
 def _candidate_pairs(key, cid, pos, strand, rank, m, stats=None,
-                     new_from=None):
+                     new_from=None, probe_cap=_MAX_PER_PROBE):
     """Ordered pairs (a, b, shift) of contigs sharing a minimizer k-mer with
     equal strand. shift d aligns b into a's coordinates (col_b0 at col d).
 
@@ -206,7 +213,7 @@ def _candidate_pairs(key, cid, pos, strand, rank, m, stats=None,
         lo = np.searchsorted(ik, pk, side="left")
         hi = np.searchsorted(ik, pk, side="right")
         cnt_all = hi - lo
-        cnt = np.minimum(cnt_all, _MAX_PER_PROBE)
+        cnt = np.minimum(cnt_all, probe_cap)
         if stats is not None:
             stats["merge_probe_drops"] = stats.get("merge_probe_drops", 0) + \
                 int((cnt_all - cnt).sum())
@@ -280,17 +287,27 @@ def _score_pairs(cs: ClusterSet, a, b, d, cap: int):
 
 def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
                   stats: dict | None = None,
-                  incremental: bool = True) -> ClusterSet:
+                  incremental: bool = True,
+                  codes_host: np.ndarray | None = None,
+                  codes_dev=None) -> ClusterSet:
     """``incremental=False`` re-sketches every contig and re-searches the full
     candidate space each generation (the reference's behavior,
     kthread_cb.c:580) — kept as the oracle for the equivalence property test
-    (tests/test_merge.py::test_incremental_equals_full_research)."""
+    (tests/test_merge.py::test_incremental_equals_full_research).
+
+    ``codes_host``/``codes_dev`` (the read store) enable cfg.merge_revote:
+    each merged contig's consensus is rebuilt by re-voting all members
+    (construct_ref2 semantics, kthread_cb.c:105-218) through the shared
+    segmented consensus kernel; without the store the splice approximation
+    is used regardless of the flag."""
+    revote = (cfg.merge_revote and codes_host is not None)
     pre_tot = 0
     sk = None  # cached (key, cid, pos, strand, rank) of contig minimizers
     new_from = None  # incremental probing: only pairs touching ids >= this
     while cset.n_clusters > 1:
         if sk is None:
-            sk = sketch_contigs(cset, cfg.k, cfg.contig_window)
+            sk = sketch_contigs(cset, cfg.k, cfg.contig_window,
+                                cfg.merge_rank_cap, stats)
         # After the first iteration only pairs touching a freshly-merged
         # contig can exist: the multi-pass matching below is maximal (the
         # globally earliest live candidate is always taken), so any
@@ -298,7 +315,8 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
         # merged, and score-rejected pairs stay rejected because neither
         # contig changed. This replaces the reference's full index rebuild
         # per generation (kthread_cb.c:580) with an exact incremental search.
-        a, b, d = _candidate_pairs(*sk, cfg.first_minimizers, stats, new_from)
+        a, b, d = _candidate_pairs(*sk, cfg.first_minimizers, stats, new_from,
+                                   cfg.merge_probe_cap)
         n_merges = 0
         if len(a):
             scores = _score_pairs(cset, a, b, d, cfg.cb_threshold)
@@ -338,7 +356,8 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
             if n_merges:
                 cset, kept_old, n_pairs = _apply_merges(
                     cset, np.concatenate(pa), np.concatenate(pb),
-                    np.concatenate(pd))
+                    np.concatenate(pd),
+                    (codes_host, codes_dev) if revote else None)
                 # Incremental re-sketch: untouched contigs keep their cached
                 # minimizers (per-contig sketches are batch-independent);
                 # only the n_pairs merged contigs — appended after the
@@ -351,7 +370,8 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
                 live = remap[cid] >= 0
                 merged_ids = np.arange(n_keep, n_keep + n_pairs)
                 fk, fc, fp, fs, fr = sketch_contigs(
-                    _select(cset, merged_ids), cfg.k, cfg.contig_window)
+                    _select(cset, merged_ids), cfg.k, cfg.contig_window,
+                    cfg.merge_rank_cap, stats)
                 sk = (np.concatenate([key[live], fk]),
                       np.concatenate([remap[cid[live]], fc + n_keep]),
                       np.concatenate([pos[live], fp]),
@@ -378,18 +398,22 @@ def _paste(dst, dst_starts, src, src_starts, seg_lens):
     dst[dst_starts[rep] + off] = src[src_starts[rep] + off]
 
 
-def _apply_merges(cs: ClusterSet, a, b, d):
-    """Merge pairs (a <- b shifted by d); splice the merged consensus.
+def _apply_merges(cs: ClusterSet, a, b, d, revote_ctx=None):
+    """Merge pairs (a <- b shifted by d).
 
-    The merged consensus is the SPLICE of the two existing consensus strings
-    (each already a member-count majority vote): both cover their own span,
-    and in the <= cb_threshold-mismatch overlap each COLUMN keeps the base
-    of whichever side has more members covering it (coverage computed from
-    member span endpoints with one cumsum). This approximates the
-    reference's full member re-vote (construct_ref2, kthread_cb.c:105-218)
-    with pure host scatters, removing the dominant device round trip of the
-    merge loop; it differs from the re-vote only at columns where members'
-    own mismatches would flip the majority their consensus carries.
+    With ``revote_ctx`` = (codes_host, codes_dev): the merged consensus is
+    rebuilt by re-voting ALL members through the shared segmented consensus
+    kernel — exactly the reference's construct_ref2 (kthread_cb.c:105-218):
+    span [0, max(off)+readlen), majority vote, no ejection.
+
+    Without it: the merged consensus is the SPLICE of the two existing
+    consensus strings (each already a member-count majority vote): both
+    cover their own span, and in the <= cb_threshold-mismatch overlap each
+    COLUMN keeps the base of whichever side has more members covering it
+    (coverage computed from member span endpoints with one cumsum). The
+    splice differs from the re-vote only at columns where members' own
+    mismatches would flip the majority their consensus carries (measured
+    ~0.3% archive size on the synthetic bench — tools/merge_ab.py).
 
     Returns (new ClusterSet = [untouched contigs..., merged pairs...],
     indices of the untouched contigs in the OLD numbering, n_pairs)."""
@@ -429,6 +453,22 @@ def _apply_merges(cs: ClusterSet, a, b, d):
     ref_ptr = np.zeros(P + 1, np.int64)
     np.cumsum(span, out=ref_ptr[1:])
     total = int(ref_ptr[-1])
+
+    if revote_ctx is not None:
+        # member re-vote (construct_ref2): every contig length is
+        # max(member off) + L by construction, so the consensus spans equal
+        # the splice spans and ref_ptr is reused as computed above
+        from minicom_tpu.pipeline.cluster import consensus_from_members
+        codes_host, codes_dev = revote_ctx
+        seg = np.repeat(np.arange(P, dtype=np.int64), pair_sizes)
+        ref_flat, rptr2, _ = consensus_from_members(
+            L, seg, mem_off, mem_rid, mem_dir, P, codes_dev,
+            want_diffs=False, codes_host=codes_host)
+        assert rptr2[-1] == total, "re-vote span mismatch vs member extent"
+        merged = ClusterSet(L, mem_rid, mem_off.astype(np.int32), mem_dir,
+                            cptr, ref_flat, rptr2)
+        return ClusterSet.concat([keep, merged]), kept_old, P
+
     ref_flat = np.zeros(total, np.uint8)
     _paste(ref_flat, ref_ptr[:-1] + shift_b, cs.ref_flat, cs.ref_ptr[b], lb)
     _paste(ref_flat, ref_ptr[:-1] + shift_a, cs.ref_flat, cs.ref_ptr[a], la)

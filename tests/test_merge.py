@@ -132,3 +132,48 @@ def test_select_subset(rng):
         np.testing.assert_array_equal(
             sub.ref_flat[sub.ref_ptr[j]:sub.ref_ptr[j + 1]],
             cset.ref_flat[cset.ref_ptr[c]:cset.ref_ptr[c + 1]])
+
+
+def test_revote_consensus_is_member_majority_vote(rng):
+    """merge_revote: the merged consensus equals a brute-force majority vote
+    over all oriented members (construct_ref2, kthread_cb.c:105-218), with
+    the argmax-tie-to-lowest-code rule shared by every consensus path."""
+    cls, cset, sg, cfg = _build(rng, n=900, L=100, genome_len=2000)
+    if cset.n_clusters < 2:
+        return
+    merged = merge_contigs(cset, cfg, codes_host=cls.codes_sub)
+    L = merged.readlen
+    codes = cls.codes_sub
+    for c in range(merged.n_clusters):
+        m0, m1 = merged.cluster_ptr[c], merged.cluster_ptr[c + 1]
+        span = int(merged.ref_ptr[c + 1] - merged.ref_ptr[c])
+        counts = np.zeros((span, 4), np.int64)
+        for m in range(m0, m1):
+            r = codes[merged.mem_rid[m]]
+            if merged.mem_dir[m]:
+                r = (3 - r)[::-1]
+            o = merged.mem_off[m]
+            counts[np.arange(o, o + L), r] += 1
+        want = np.argmax(counts, axis=1).astype(np.uint8)
+        got = merged.ref_flat[merged.ref_ptr[c]:merged.ref_ptr[c + 1]]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_revote_roundtrip_and_size(tmp_path, rng):
+    """End-to-end: revote on (default) and off both roundtrip; revote never
+    produces a larger archive on clusterable data."""
+    from minicom_tpu import compressor
+    from tests.conftest import write_fastq
+    reads = genome_reads(rng, 1500, 100, genome_len=4000, err=0.01)
+    fq = str(tmp_path / "in.fastq")
+    write_fastq(fq, reads)
+    sizes = {}
+    for revote in (True, False):
+        arc = str(tmp_path / f"r{revote}.mtc")
+        out = str(tmp_path / f"r{revote}.reads")
+        compressor.compress(fq, arc, CompressorConfig(merge_revote=revote))
+        compressor.decompress(arc, out)
+        got = sorted(open(out, "rb").read().splitlines())
+        assert got == sorted(bytes(r) for r in reads)
+        sizes[revote] = len(open(arc, "rb").read())
+    assert sizes[True] <= sizes[False] * 1.01, sizes
