@@ -85,6 +85,21 @@ def _compress(reads_path, out_path, cfg, reads_path2, stats) -> dict:
     rank = {"cluster": 1, "merge": 2, "realign": 3}.get(done, 0)
 
     codes_dev = None
+    if rank < 2:
+        # merge-stage Mosaic kernels compile in the background while the
+        # cluster stage runs: their shapes depend only on the config, and
+        # each compile through the TPU tunnel costs tens of seconds
+        # (cold-compile diet; MTC_WARMUP=0 disables)
+        # (skipped for small inputs: their pipeline finishes long before the
+        # warmup compiles would, and the serialized compile queue would only
+        # delay the programs the run actually needs)
+        import jax
+        if (jax.default_backend() != "cpu"
+                and n_seq * max(L, 1) >= 4_000_000
+                and os.environ.get("MTC_WARMUP", "1") == "1"):
+            from minicom_tpu.pipeline import merge as merge_mod
+            merge_mod.start_sketch_warmup(rcfg.k, rcfg.contig_window,
+                                          rcfg.merge_rank_cap)
     if rank < 1:
         # upload the (N-substituted) read store to device ONCE; all cluster
         # rounds gather from it by rid (13 B/member host->device instead of

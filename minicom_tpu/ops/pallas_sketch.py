@@ -203,39 +203,18 @@ def sketch_windowed_pallas(codes: jnp.ndarray, lengths: jnp.ndarray,
     return hi, lo, meta, nv[:, 0]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "w", "m", "Lmax", "interpret"))
-def sketch_windowed_gather_pallas(ref_flat: jnp.ndarray, starts: jnp.ndarray,
-                                  lengths: jnp.ndarray, k: int, w: int,
-                                  m: int, Lmax: int, interpret: bool = False):
-    """Gather rows from the device-resident flat contig stream (XLA), then
-    run the Pallas sketch kernel — the TPU path of merge.sketch_contigs."""
-    idx = starts[:, None].astype(jnp.int32) \
-        + np.arange(Lmax, dtype=np.int32)[None, :]
-    codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
-    hi, lo, meta, nv = sketch_windowed_pallas(codes, lengths, k, w, m,
-                                              interpret=interpret)
-    # one u32 buffer, same layout as sketch_windowed_gather_compact
-    return jnp.concatenate([
-        hi.reshape(-1), lo.reshape(-1),
-        jax.lax.bitcast_convert_type(meta.reshape(-1), jnp.uint32),
-        jax.lax.bitcast_convert_type(nv, jnp.uint32)])
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "w", "m", "Lmax", "interpret"))
-def sketch_windowed_gather_pallas32(ref_flat: jnp.ndarray,
-                                    starts: jnp.ndarray,
-                                    lengths: jnp.ndarray, k: int, w: int,
-                                    m: int, Lmax: int,
-                                    interpret: bool = False):
-    """Pallas counterpart of sketch_windowed_gather_compact32: 32-bit hashed
-    key buffer mix32(kmer) | meta | nvalid (the merge stage verifies every
-    candidate pair against the real bases, so hash collisions are safe)."""
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "m", "interpret"))
+def sketch_windowed_pallas_compact32(codes: jnp.ndarray, lengths: jnp.ndarray,
+                                     k: int, w: int, m: int,
+                                     interpret: bool = False):
+    """Pallas sketch over pre-gathered [rows, Lmax] codes with the
+    transfer-minimal 32-bit-hashed output buffer. Shape depends only on the
+    fixed (rows, Lmax, m) tile — precompilable from the config alone by
+    merge.warmup_sketch_programs."""
     from minicom_tpu.ops.sketch import mix32
-    idx = starts[:, None].astype(jnp.int32) \
-        + np.arange(Lmax, dtype=np.int32)[None, :]
-    codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
     hi, lo, meta, nv = sketch_windowed_pallas(codes, lengths, k, w, m,
                                               interpret=interpret)
     return jnp.concatenate([

@@ -217,52 +217,24 @@ def _sliding_reduce(x: jnp.ndarray, w: int, op) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "m", "Lmax"))
-def sketch_windowed_gather(ref_flat: jnp.ndarray, starts: jnp.ndarray,
-                           lengths: jnp.ndarray, k: int, w: int, m: int,
-                           Lmax: int):
-    """sketch_windowed over rows gathered from a device-resident flat contig
-    stream: row r = ref_flat[starts[r] : starts[r] + Lmax] (masked beyond
-    lengths[r]). Upload cost per batch is 8 bytes/contig instead of
-    Lmax bytes/contig."""
-    idx = starts[:, None].astype(jnp.int32) + np.arange(Lmax, dtype=np.int32)[None, :]
-    codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
-    return _sketch_windowed_body(codes, lengths, k, w, m)
+@functools.partial(jax.jit, static_argnames=("Lmax",))
+def gather_contig_rows(ref_flat: jnp.ndarray, sl: jnp.ndarray, Lmax: int):
+    """[2, rows] int32 (start, length) -> ([rows, Lmax] uint8, [rows] int32).
+
+    The merge stage splits its sketch into this cheap XLA gather (whose shape
+    depends on the padded contig-stream length) and the expensive Mosaic
+    kernel (whose shape depends only on the fixed row tile), so a background
+    warmup thread can precompile every Mosaic program from the config alone
+    while the cluster stage still runs (cold-compile diet)."""
+    idx = sl[0][:, None] + np.arange(Lmax, dtype=np.int32)[None, :]
+    return ref_flat.at[idx].get(mode="fill", fill_value=0), sl[1]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "m", "Lmax"))
-def sketch_windowed_gather_compact(ref_flat: jnp.ndarray, starts: jnp.ndarray,
-                                   lengths: jnp.ndarray, k: int, w: int,
-                                   m: int, Lmax: int):
-    """sketch_windowed_gather with transfer-minimal output for the merge
-    stage: ONE uint32 buffer [3*C*m + C] = kmer_hi | kmer_lo |
-    (end_pos << 1 | strand) | nvalid, fetched in a single d2h transfer
-    (the tunnel charges per array; the h32 ranking hash never ships)."""
-    idx = starts[:, None].astype(jnp.int32) + np.arange(Lmax, dtype=np.int32)[None, :]
-    codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
-    h, hi, lo, pos, strand, valid = _sketch_windowed_body(
-        codes, lengths, k, w, m)
-    meta = (pos << 1) | strand.astype(jnp.int32)
-    nv = valid.sum(axis=1, dtype=jnp.int32)
-    return jnp.concatenate([
-        hi.reshape(-1), lo.reshape(-1),
-        jax.lax.bitcast_convert_type(meta.reshape(-1), jnp.uint32),
-        jax.lax.bitcast_convert_type(nv, jnp.uint32)])
-
-
-@functools.partial(jax.jit, static_argnames=("k", "w", "m", "Lmax"))
-def sketch_windowed_gather_compact32(ref_flat: jnp.ndarray,
-                                     starts: jnp.ndarray,
-                                     lengths: jnp.ndarray, k: int, w: int,
-                                     m: int, Lmax: int):
-    """sketch_windowed_gather_compact with a 32-bit HASHED k-mer key:
-    buffer [2*C*m + C] = mix32(kmer) | (end_pos << 1 | strand) | nvalid.
-    Halves the per-slot download vs the exact 64-bit key. For the merge
-    stage a hash key is safe: a collision only creates a spurious candidate
-    pair, and every pair is verified against the real base overlap before
-    merging (pipeline/merge.py::_score_pairs)."""
-    idx = starts[:, None].astype(jnp.int32) + np.arange(Lmax, dtype=np.int32)[None, :]
-    codes = ref_flat.at[idx].get(mode="fill", fill_value=0)
+@functools.partial(jax.jit, static_argnames=("k", "w", "m"))
+def sketch_windowed_compact32(codes: jnp.ndarray, lengths: jnp.ndarray,
+                              k: int, w: int, m: int):
+    """sketch_windowed over pre-gathered rows with the transfer-minimal
+    32-bit-hashed output buffer (see sketch_windowed_gather_compact32)."""
     h, hi, lo, pos, strand, valid = _sketch_windowed_body(
         codes, lengths, k, w, m)
     meta = (pos << 1) | strand.astype(jnp.int32)

@@ -26,27 +26,27 @@ import numpy as np
 import jax.numpy as jnp
 
 from minicom_tpu.config import ResolvedConfig
-from minicom_tpu.ops.sketch import sketch_windowed_gather_compact32
 from minicom_tpu.parallel import distributed as dist
 import os
 
 
-def _sketch_gather_fn():
-    """Pick the contig-sketch kernel: the Pallas VMEM-resident kernel on a
-    real TPU backend (parity-tested vs the XLA path,
-    tests/test_sketch.py::test_pallas_windowed_matches_xla), the XLA windowed
-    sketch elsewhere. Both return the transfer-minimal 32-bit-hashed-key
-    (key32, meta, nv) buffer — every candidate pair is verified against the
-    real bases, so hashed grouping keys are safe and halve the download.
-    MTC_PALLAS_SKETCH=0/1 overrides."""
+def _sketch_codes_fn():
+    """Pick the contig-sketch kernel over pre-gathered [rows, Lmax] codes:
+    the Pallas VMEM-resident kernel on a real TPU backend (parity-tested vs
+    the XLA path, tests/test_sketch.py::test_pallas_windowed_matches_xla),
+    the XLA windowed sketch elsewhere. Both return the transfer-minimal
+    32-bit-hashed-key (key32, meta, nv) buffer — every candidate pair is
+    verified against the real bases, so hashed grouping keys are safe and
+    halve the download. MTC_PALLAS_SKETCH=0/1 overrides."""
     import jax
     env = os.environ.get("MTC_PALLAS_SKETCH")
     use = (jax.default_backend() != "cpu") if env is None else env == "1"
     if use:
         from minicom_tpu.ops.pallas_sketch import (
-            sketch_windowed_gather_pallas32)
-        return sketch_windowed_gather_pallas32
-    return sketch_windowed_gather_compact32
+            sketch_windowed_pallas_compact32)
+        return sketch_windowed_pallas_compact32
+    from minicom_tpu.ops.sketch import sketch_windowed_compact32
+    return sketch_windowed_compact32
 
 
 def _batch_m(Lmax: int, k: int, w: int, cap: int) -> int:
@@ -68,10 +68,33 @@ from minicom_tpu.pipeline.cluster import ClusterSet
 _RANK_CAP = 128        # default minimizers kept per contig for probing
 _MAX_PER_PROBE = 64    # default index hits paired per probe (drops logged)
 _SKETCH_BUDGET = 1 << 26  # uint8 elements per padded sketch batch
+_LMAX_FLOOR = 128      # smallest contig-length bucket
+_ROWS_TILE_CAP = 2048  # contig rows per sketch dispatch
+_REF_PAD_FLOOR = 1 << 20  # contig-stream pad floor (quantizes gather shapes)
 
 
 def _pow2(n: int) -> int:
     return 1 << max(4, int(n - 1).bit_length())
+
+
+def _lmax_bucket(n: int) -> int:
+    """Contig lengths quantize to a pow4 ladder (128, 512, 2048, ...): the
+    padded-gather compute waste is bounded at 4x (cheap on device — the
+    FETCH is [rows, m] and never pads by Lmax) while the Mosaic program set
+    stays ~one kernel per ladder rung instead of one per pow2 length."""
+    Lmax = _LMAX_FLOOR
+    while Lmax < n:
+        Lmax *= 4
+    return Lmax
+
+
+def _rows_tile(Lmax: int) -> int:
+    """Fixed row count per sketch dispatch for a ladder rung: ONE program
+    shape per rung — batches chunk into tiles instead of padding to a
+    dataset-sized row tier (the r02 design shipped nb_pad*m slots through
+    the ~60 MB/s tunnel even for a 300-row batch; a tile bounds the padded
+    fetch at tile*m slots ~ a few hundred KB)."""
+    return int(min(_ROWS_TILE_CAP, max(256, _SKETCH_BUDGET // Lmax)))
 
 
 def _select(cs: ClusterSet, idx: np.ndarray) -> ClusterSet:
@@ -114,52 +137,51 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int,
                 z.astype(np.int8), z.astype(np.int32))
     order = np.argsort(lens, kind="stable")
 
-    # plan the length-bucketed batches first (host, cheap), then process a
-    # contiguous batch range per rank and all-gather in rank (= batch) order
+    # plan fixed-tile chunks first (host, cheap), then process a contiguous
+    # chunk range per rank and all-gather in rank (= chunk) order; every
+    # chunk of a ladder rung reuses the SAME (tile, Lmax, m) program, so the
+    # fetch scales with the true contig count while the Mosaic program set
+    # stays at ~one kernel per rung
     plan = []
     i = 0
     while i < C:
-        # batch shapes in pow2 Lmax buckets with exactly TWO row tiers per
-        # bucket (256 and the budget cap): every fresh XLA/Mosaic program
-        # costs seconds-to-minutes of server compile through the tunnel, so
-        # the program zoo is kept at ~2 per Lmax instead of a pow2 row
-        # ladder; the padded-row compute waste is bounded by one small tier
-        Lmax = max(_pow2(max(int(lens[order[i]]), k + 1)), 128)
-        max_rows = max(256, _SKETCH_BUDGET // Lmax)
+        Lmax = _lmax_bucket(max(int(lens[order[i]]), k + 1))
+        tile = _rows_tile(Lmax)
         j = i
-        while j < C and j - i < max_rows and lens[order[j]] <= Lmax:
+        while j < C and j - i < tile and lens[order[j]] <= Lmax:
             j += 1
-        nb_pad = 256 if j - i <= 256 else max_rows
-        plan.append((i, j, Lmax, nb_pad))
+        plan.append((i, j, Lmax, tile))
         i = j
     b0, b1 = dist.my_partition(np.array([p[3] * p[2] for p in plan]))
 
     # device gathers index the flat stream with int32 (strictly-32-bit device
     # code); a >2^31-element contig stream would wrap silently
     assert len(cs.ref_flat) < 2**31, "contig stream exceeds int32 gather range"
-    ref_pad = np.zeros(_pow2(max(len(cs.ref_flat), 1 << 14)), np.uint8)
+    from minicom_tpu.ops.sketch import gather_contig_rows
+    ref_pad = np.zeros(_pow2(max(len(cs.ref_flat), _REF_PAD_FLOOR)), np.uint8)
     ref_pad[: len(cs.ref_flat)] = cs.ref_flat
     ref_dev = replicate(jnp.asarray(ref_pad))
-    sketch_fn = _sketch_gather_fn()
+    sketch_fn = _sketch_codes_fn()
     outs = []
-    for i, j, Lmax, nb_pad in plan[b0:b1]:
+    for i, j, Lmax, tile in plan[b0:b1]:
         batch = order[i:j]
         nb = len(batch)
-        starts = np.full(nb_pad, len(ref_pad), np.int64)  # pad rows gather 0s
-        starts[:nb] = cs.ref_ptr[batch]
-        lens_pad = np.zeros(nb_pad, np.int32)
-        lens_pad[:nb] = lens[batch]
+        # ONE packed [2, tile] upload per chunk: row 0 starts, row 1 lengths
+        # (pad rows gather out of range -> fill 0, length 0 -> nv 0)
+        sl = np.zeros((2, tile), np.int32)
+        sl[0] = len(ref_pad)
+        sl[0, :nb] = cs.ref_ptr[batch]
+        sl[1, :nb] = lens[batch]
         mb = _batch_m(Lmax, k, w, rank_cap)
-        out = sketch_fn(
-            ref_dev, jnp.asarray(starts.astype(np.int32)),
-            jnp.asarray(lens_pad), k, min(w, Lmax - k + 1), mb, Lmax)
-        outs.append((batch, nb, nb_pad, mb, out))
+        codes, ln = gather_contig_rows(ref_dev, jnp.asarray(sl), Lmax)
+        out = sketch_fn(codes, ln, k, min(w, Lmax - k + 1), mb)
+        outs.append((batch, nb, tile, mb, out))
     keys, cids, poss, dirs, ranks = [[np.zeros(0, d)] for d in
                                      (np.uint32, np.int64, np.int32,
                                       np.int8, np.int32)]
     flat = fetch([out for (_, _, _, _, out) in outs])
     for (batch, nb, nb_pad, mb, _), buf in zip(outs, flat):
-        # buf layout: key32 | meta | nv (sketch_windowed_gather_compact32)
+        # buf layout: key32 | meta | nv (sketch_windowed_compact32)
         cm = nb_pad * mb
         key = buf[:cm].reshape(nb_pad, mb)[:nb]
         meta = buf[cm:2 * cm].view(np.int32).reshape(nb_pad, mb)[:nb]
@@ -183,6 +205,52 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int,
             dist.allgather_ragged(np.concatenate(poss)),
             dist.allgather_ragged(np.concatenate(dirs)),
             dist.allgather_ragged(np.concatenate(ranks)))
+
+
+_WARMUP_THREAD = None
+
+
+def start_sketch_warmup(k: int, w: int, rank_cap: int) -> None:
+    """Launch warmup_sketch_programs on a background thread (once per
+    process). The thread is joined at interpreter exit: a device call still
+    in flight when the main thread tears down the PJRT client aborts the
+    process with an unrethrown C++ exception."""
+    global _WARMUP_THREAD
+    if _WARMUP_THREAD is not None:
+        return
+    import atexit
+    import threading
+    th = threading.Thread(target=warmup_sketch_programs,
+                          args=(k, w, rank_cap), daemon=True)
+    _WARMUP_THREAD = th
+    atexit.register(th.join)
+    th.start()
+
+
+def warmup_sketch_programs(k: int, w: int, rank_cap: int,
+                           max_len_hint: int = 2048) -> None:
+    """Precompile the merge-stage Mosaic sketch kernels on dummy device data.
+
+    The kernel shapes are pure functions of (config, ladder rung) — nothing
+    about the dataset — so a background thread can trigger every compile
+    while the cluster stage still runs, taking the merge compiles off the
+    cold critical path (each Mosaic compile through the TPU tunnel costs
+    tens of seconds). Covers rungs up to ``max_len_hint``; longer contigs
+    (rare, late generations) compile on demand. Exceptions are swallowed:
+    a failed warmup only means the compile happens at first real use."""
+    try:
+        sketch_fn = _sketch_codes_fn()
+        Lmax = _LMAX_FLOOR
+        while Lmax <= max(max_len_hint, _LMAX_FLOOR):
+            tile = _rows_tile(Lmax)
+            mb = _batch_m(Lmax, k, w, rank_cap)
+            codes = jnp.zeros((tile, Lmax), jnp.uint8)
+            ln = jnp.zeros(tile, jnp.int32)
+            sketch_fn(codes, ln, k, min(w, Lmax - k + 1), mb
+                      ).block_until_ready()
+            Lmax *= 4
+    except Exception:  # pragma: no cover - warmup is best-effort
+        pass
 
 
 def _candidate_pairs(key, cid, pos, strand, rank, m, stats=None,

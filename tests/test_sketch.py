@@ -169,22 +169,23 @@ def test_pallas_windowed_matches_xla(rng):
 
 
 def test_gather32_pallas_matches_xla(rng):
-    """The 32-bit hashed-key gather wrappers (merge's actual entry points)
-    produce identical buffers: Pallas interpret mode vs the XLA path."""
+    """The 32-bit hashed-key compact kernels (merge's actual entry points,
+    fed by the shared gather) produce identical buffers: Pallas interpret
+    mode vs the XLA path."""
     import jax.numpy as jnp
-    from minicom_tpu.ops.pallas_sketch import sketch_windowed_gather_pallas32
-    from minicom_tpu.ops.sketch import sketch_windowed_gather_compact32
+    from minicom_tpu.ops.pallas_sketch import sketch_windowed_pallas_compact32
+    from minicom_tpu.ops.sketch import (gather_contig_rows,
+                                        sketch_windowed_compact32)
 
     ref = rng.integers(0, 4, 2048, dtype=np.uint8)
     starts = np.array([0, 100, 400, 1200, 30, 900, 50, 333], np.int32)
     lengths = np.array([90, 250, 700, 800, 64, 128, 40, 511], np.int32)
     k, w, m, Lmax = 17, 11, 48, 1024
-    a = np.asarray(sketch_windowed_gather_compact32(
-        jnp.asarray(ref), jnp.asarray(starts), jnp.asarray(lengths),
-        k, w, m, Lmax))
-    b = np.asarray(sketch_windowed_gather_pallas32(
-        jnp.asarray(ref), jnp.asarray(starts), jnp.asarray(lengths),
-        k, w, m, Lmax, interpret=True))
+    sl = jnp.asarray(np.stack([starts, lengths]))
+    codes, ln = gather_contig_rows(jnp.asarray(ref), sl, Lmax)
+    a = np.asarray(sketch_windowed_compact32(codes, ln, k, w, m))
+    b = np.asarray(sketch_windowed_pallas_compact32(
+        codes, ln, k, w, m, interpret=True))
     C = len(starts)
     cm = C * m
     nv = a[2 * cm:].view(np.int32)

@@ -1,0 +1,108 @@
+"""Multi-process encode scaling measurement (VERDICT r03 item 6).
+
+Real multi-chip hardware is unavailable in this environment, so this measures
+what can be measured: end-to-end encode wall time at 1/2/4 jax.distributed
+processes with CPU collectives on one host (the tests/test_distributed.py
+harness at benchmark scale), plus the byte-identity of the archives across
+process counts — the determinism property the reference cannot offer
+(its format bakes in the thread count, kthread_dump.c:375).
+
+Writes SCALING_r<N>.json at the repo root. Usage:
+
+    SCALE_READS=1000000 python tools/scaling.py [round_no]
+
+Caveat recorded in the output: this host has very few physical cores, so the
+collectives AND the per-rank compute share them — parallel efficiency here is
+a lower bound on what separate hosts would see (each rank's work is 1/P of
+the dataset; on P real hosts the ranks would not contend).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tools", "_scaling_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def run_group(nproc: int, fq: str, outdir: str, threads: int) -> dict:
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               MTC_WRITE_ALL_RANKS="0")
+    out = os.path.join(outdir, f"p{nproc}.mtc")
+    t0 = time.time()
+    procs = []
+    for pid in range(nproc):
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, coord, str(nproc), str(pid),
+             str(threads), fq, out],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT))
+    encode_s = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=7200)
+        text = stdout.decode(errors="replace")
+        if p.returncode != 0:
+            raise RuntimeError(f"rank failed (nproc={nproc}):\n{text[-3000:]}")
+        encode_s.append(json.loads(text.strip().splitlines()[-1])["encode_s"])
+    return {"nproc": nproc, "threads_per_rank": threads,
+            "encode_s": max(encode_s), "wall_s": round(time.time() - t0, 3),
+            "archive_bytes": os.path.getsize(out), "archive_path": out}
+
+
+def main() -> None:
+    round_no = sys.argv[1] if len(sys.argv) > 1 else "03"
+    n_reads = int(os.environ.get("SCALE_READS", "1000000"))
+    ncpu = os.cpu_count() or 1
+    tmp = tempfile.mkdtemp(prefix="mtc_scaling_")
+    fq = os.path.join(tmp, "scale.fastq")
+    sys.path.insert(0, REPO)
+    from bench import make_dataset
+    seq_bytes = make_dataset(fq, n_reads)
+
+    results = []
+    for nproc in (1, 2, 4):
+        threads = max(1, ncpu // nproc)
+        r = run_group(nproc, fq, tmp, threads)
+        r["encode_MBps"] = round(seq_bytes / 1e6 / r["encode_s"], 3)
+        results.append(r)
+        print(json.dumps(r))
+
+    base = open(results[0].pop("archive_path"), "rb").read()
+    identical = all(open(r.pop("archive_path"), "rb").read() == base
+                    for r in results[1:])
+    t1 = results[0]["encode_s"]
+    for r in results:
+        r["speedup_vs_1proc"] = round(t1 / r["encode_s"], 3)
+        r["efficiency"] = round(t1 / r["encode_s"] / r["nproc"], 3)
+    out = {
+        "n_reads": n_reads, "seq_bytes": seq_bytes,
+        "host_cpu_count": ncpu,
+        "note": ("single host, CPU collectives; all ranks share "
+                 f"{ncpu} cores, so efficiency is a lower bound vs real "
+                 "multi-host"),
+        "archive_bytes_identical_across_nproc": identical,
+        "runs": results,
+    }
+    path = os.path.join(REPO, f"SCALING_r{round_no}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
