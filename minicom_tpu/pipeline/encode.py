@@ -141,22 +141,30 @@ def serialize(inp: EncodeInput) -> tuple[dict, dict]:
 
     # diff lines: oriented restored reads vs ref window (native windowed
     # pass reads the flat ref + per-row dir directly — no [M, L] gather /
-    # orient / ASCII intermediates)
+    # orient / ASCII intermediates). Members are processed in bounded
+    # chunks: a whole-member [M, L] restored copy was the pipeline's peak
+    # RSS at the 1M-read scale (~1 B/base on its own).
     if cs.n_members:
         base = ref_ptr_new[segc] + off
-        restored = inp.codes_sub[rid]
-        nm = inp.n_mask[rid]
-        if nm.any():
-            restored = restored.copy()
-            restored[nm] = 4
-        blob = native.diff_encode_win(ref_cat, base, restored, dirs, 0)
-        if blob is None:  # pure-Python fallback
-            rc = revcomp_codes(restored)
-            oriented = np.where((dirs == 1)[:, None], rc, restored)
-            win_idx = base[:, None] + np.arange(L)[None, :]
-            blob = diff_encode(codes_to_ascii(ref_cat[win_idx]),
-                               codes_to_ascii(oriented), 0)
-        streams["diff"] = blob
+        parts = []
+        CH = 1 << 20
+        for s in range(0, cs.n_members, CH):
+            t = min(s + CH, cs.n_members)
+            restored = inp.codes_sub[rid[s:t]]
+            nm = inp.n_mask[rid[s:t]]
+            if nm.any():
+                restored = restored.copy()
+                restored[nm] = 4
+            blob = native.diff_encode_win(ref_cat, base[s:t], restored,
+                                          dirs[s:t], 0)
+            if blob is None:  # pure-Python fallback
+                rc = revcomp_codes(restored)
+                oriented = np.where((dirs[s:t] == 1)[:, None], rc, restored)
+                win_idx = base[s:t, None] + np.arange(L)[None, :]
+                blob = diff_encode(codes_to_ascii(ref_cat[win_idx]),
+                                   codes_to_ascii(oriented), 0)
+            parts.append(blob)
+        streams["diff"] = b"".join(parts)
     else:
         streams["diff"] = b""
 
