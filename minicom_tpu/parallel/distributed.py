@@ -81,30 +81,57 @@ def my_partition(weights: np.ndarray) -> tuple[int, int]:
     return partition(weights)[_PID]
 
 
+def _pad_tier(n: int) -> int:
+    """Collective payloads pad to a pow2 ladder (floor 4 KiB): the collective
+    program is compiled per SHAPE with a cross-process agreement barrier, so
+    a data-dependent pad length would compile (and barrier) on nearly every
+    call — measured ~240 s of pure overhead on a 1M-read 2-process run. The
+    ladder caps the program set at ~log2(payload) entries reused forever."""
+    return 1 << max(12, int(max(n, 1) - 1).bit_length())
+
+
 def allgather_ragged(arr: np.ndarray) -> np.ndarray:
     """Ordered all-gather of a 1-D array with per-process lengths; the result
     is the rank-order concatenation (identical on every process). No-op with
     a single process. Payload crosses the wire as uint8."""
     if _NPROC == 1:
         return arr
-    from jax.experimental import multihost_utils as mh
-    arr = np.ascontiguousarray(arr)
-    dtype = arr.dtype
-    b = arr.view(np.uint8).reshape(-1)
-    # lengths travel as two u32 words (lo, hi): device collectives are
-    # 32-bit-only here, but a rank payload can exceed 2^31 bytes on large
-    # inputs and must not silently wrap
-    lens2 = np.asarray(mh.process_allgather(np.array(
-        [len(b) & 0xFFFFFFFF, len(b) >> 32], np.uint32))).reshape(-1, 2)
-    lens = lens2[:, 0].astype(np.int64) | (lens2[:, 1].astype(np.int64) << 32)
-    mx = max(int(lens.max()), 1)
-    pad = np.zeros(mx, np.uint8)
-    pad[: len(b)] = b
-    g = np.asarray(mh.process_allgather(pad))
-    parts = [g[p, : lens[p]] for p in range(_NPROC)]
-    return np.concatenate(parts).view(dtype)
+    return allgather_ragged_many([arr])[0]
 
 
 def allgather_ragged_many(arrays: list[np.ndarray]) -> list[np.ndarray]:
-    """allgather_ragged for several same-length-partitioned arrays."""
-    return [allgather_ragged(a) for a in arrays]
+    """Ordered all-gather of several 1-D arrays in ONE padded collective
+    (plus one fixed-shape length exchange): stages that produce 4-5 ragged
+    outputs per pass pay one barrier instead of 8-10."""
+    if _NPROC == 1:
+        return list(arrays)
+    from jax.experimental import multihost_utils as mh
+    views = [np.ascontiguousarray(a).view(np.uint8).reshape(-1)
+             for a in arrays]
+    dtypes = [np.asarray(a).dtype for a in arrays]
+    k = len(views)
+    # per-array lengths travel as two u32 words (lo, hi): device collectives
+    # are 32-bit-only here, but a rank payload can exceed 2^31 bytes on large
+    # inputs and must not silently wrap
+    lens_local = np.array([len(v) for v in views], np.int64)
+    l2 = np.empty((k, 2), np.uint32)
+    l2[:, 0] = lens_local & 0xFFFFFFFF
+    l2[:, 1] = lens_local >> 32
+    gl = np.asarray(mh.process_allgather(l2.reshape(-1))).reshape(_NPROC, k, 2)
+    lens = gl[:, :, 0].astype(np.int64) | (gl[:, :, 1].astype(np.int64) << 32)
+
+    totals = lens.sum(axis=1)                      # payload bytes per rank
+    pad = np.zeros(_pad_tier(int(totals.max())), np.uint8)
+    pos = 0
+    for v in views:
+        pad[pos: pos + len(v)] = v
+        pos += len(v)
+    g = np.asarray(mh.process_allgather(pad))
+
+    out = []
+    starts = np.concatenate([np.zeros((_NPROC, 1), np.int64),
+                             np.cumsum(lens, axis=1)], axis=1)
+    for i in range(k):
+        parts = [g[p, starts[p, i]: starts[p, i + 1]] for p in range(_NPROC)]
+        out.append(np.concatenate(parts).view(dtypes[i]))
+    return out

@@ -268,8 +268,8 @@ def _sketch(pending: np.ndarray, codes_dev, k: int, L: int):
     khi, klo, pos, strand = (
         np.concatenate([p[i] for p in parts]) if parts else z
         for i, z in ((0, z32), (1, z32), (2, z32.astype(np.int32)), (3, z8)))
-    khi, klo, pos, strand = (dist.allgather_ragged(x)
-                             for x in (khi, klo, pos, strand))
+    khi, klo, pos, strand = dist.allgather_ragged_many(
+        [khi, klo, pos, strand])
     key = (khi.astype(np.uint64) << np.uint64(32)) | klo.astype(np.uint64)
     mpos = np.where(strand == 1, L - pos + k - 2, pos).astype(np.int32)
     return key, mpos, strand.astype(np.int8)

@@ -200,11 +200,8 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int,
         poss.append((meta[v] >> 1).astype(np.int32))
         dirs.append((meta[v] & 1).astype(np.int8))
         ranks.append(rank[v])
-    return (dist.allgather_ragged(np.concatenate(keys)),
-            dist.allgather_ragged(np.concatenate(cids)),
-            dist.allgather_ragged(np.concatenate(poss)),
-            dist.allgather_ragged(np.concatenate(dirs)),
-            dist.allgather_ragged(np.concatenate(ranks)))
+    return tuple(dist.allgather_ragged_many(
+        [np.concatenate(x) for x in (keys, cids, poss, dirs, ranks)]))
 
 
 _WARMUP_THREAD = None

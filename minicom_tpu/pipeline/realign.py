@@ -207,9 +207,9 @@ def _probe_native_sharded(dist, native, cset, sgc, ranges, cfg, thr):
     cand_cl = cand_cl + np.int32(c0)
     _, nproc = dist.process_grid()
     if nproc > 1:
-        cand_sg, cand_cl, cand_off, cand_dir, cand_pop = (
-            dist.allgather_ragged(x)
-            for x in (cand_sg, cand_cl, cand_off, cand_dir, cand_pop))
+        cand_sg, cand_cl, cand_off, cand_dir, cand_pop = \
+            dist.allgather_ragged_many(
+                [cand_sg, cand_cl, cand_off, cand_dir, cand_pop])
     return cand_sg, cand_cl, cand_off, cand_dir, cand_pop
 
 

@@ -77,7 +77,13 @@ def main() -> None:
     results = []
     for nproc in (1, 2, 4):
         threads = max(1, ncpu // nproc)
+        # run each group twice: the first pass pays the one-time XLA compiles
+        # for this process topology (the persistent cache key includes it);
+        # the second pass measures the pipeline. Cold-compile cost is a
+        # per-machine constant already reported as bench.py's cold_encode_s.
+        cold = run_group(nproc, fq, tmp, threads)
         r = run_group(nproc, fq, tmp, threads)
+        r["cold_encode_s"] = cold["encode_s"]
         r["encode_MBps"] = round(seq_bytes / 1e6 / r["encode_s"], 3)
         results.append(r)
         print(json.dumps(r))
@@ -85,6 +91,8 @@ def main() -> None:
     base = open(results[0].pop("archive_path"), "rb").read()
     identical = all(open(r.pop("archive_path"), "rb").read() == base
                     for r in results[1:])
+    for r in results:
+        r.pop("archive_path", None)
     t1 = results[0]["encode_s"]
     for r in results:
         r["speedup_vs_1proc"] = round(t1 / r["encode_s"], 3)
