@@ -9,9 +9,10 @@ everything before it; archives produced with and without resume are
 byte-identical because every stage is deterministic.
 
 A fingerprint guards against stale state: sha256 over each input file's size,
-head and tail bytes, plus the full user config. Any mismatch makes old
-checkpoints invisible (they are simply ignored, never deleted — a rerun with
-the original input can still use them).
+head and tail bytes, 64 KiB chunks at 64 evenly strided interior offsets, plus
+the full user config. Any mismatch makes old checkpoints invisible (they are
+simply ignored, never deleted — a rerun with the original input can still use
+them).
 """
 
 from __future__ import annotations
@@ -27,21 +28,32 @@ import numpy as np
 #: pipeline order; resume picks the latest stage present & valid
 STAGES = ("cluster", "merge", "realign")
 
-_HEAD_TAIL = 1 << 20  # bytes of each input hashed from both ends
+_HEAD_TAIL = 1 << 20   # bytes of each input hashed from both ends
+_N_STRIDES = 64        # interior sample points between head and tail
+_STRIDE_CHUNK = 1 << 16  # bytes hashed at each interior sample
 
 
 def fingerprint(paths: list[str], cfg) -> str:
-    """Content+config fingerprint. Hashing only the head/tail megabyte keeps
-    this O(1) for multi-GB inputs while still catching any regenerated or
-    swapped file (size participates, so same-prefix growth is caught too)."""
+    """Content+config fingerprint. Hashes the head/tail megabyte plus 64 KiB
+    at 64 evenly strided interior offsets — O(MB) for multi-GB inputs, but a
+    single-byte edit anywhere leaves at most a ~(size/64) blind span, and the
+    size itself participates so same-prefix growth is always caught."""
     h = hashlib.sha256()
     for p in paths:
         size = os.path.getsize(p)
         h.update(f"{os.path.basename(p)}:{size}:".encode())
         with open(p, "rb") as f:
             h.update(f.read(_HEAD_TAIL))
+            lo, hi = _HEAD_TAIL, max(_HEAD_TAIL, size - _HEAD_TAIL)
+            if 0 < hi - lo <= _N_STRIDES * _STRIDE_CHUNK:
+                h.update(f.read(hi - lo))  # small interior: hash it all
+            elif hi - lo > 0:
+                for i in range(_N_STRIDES):
+                    off = lo + (hi - lo) * i // _N_STRIDES
+                    f.seek(off)
+                    h.update(f.read(min(_STRIDE_CHUNK, hi - off)))
             if size > _HEAD_TAIL:
-                f.seek(max(_HEAD_TAIL, size - _HEAD_TAIL))
+                f.seek(hi)
                 h.update(f.read(_HEAD_TAIL))
     d = dataclasses.asdict(cfg)
     d.pop("checkpoint_dir", None)  # resuming is not parameter-relevant

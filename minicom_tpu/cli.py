@@ -43,8 +43,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-R", type=int, default=35, help="max clustering rounds")
     p.add_argument("-p", action="store_true", help="order-preserving mode")
     p.add_argument("--codec", default="auto",
-                   choices=["auto", "xz", "o1rc", "bz2", "zlib", "store"],
-                   help="entropy backend per stream (auto = best of xz/o1rc)")
+                   choices=["auto", "xz", "o1rc", "o2rc", "dnarc", "bz2",
+                            "zlib", "store"],
+                   help="entropy backend per stream (auto = best per stream)")
+    p.add_argument("--no-merge-revote", action="store_true",
+                   help="splice merged contigs instead of re-voting all "
+                        "members (faster, slightly larger archives)")
+    p.add_argument("--merge-rank-cap", type=int, default=0, metavar="N",
+                   help="max minimizers probed per contig during merge "
+                        "(0 = auto)")
+    p.add_argument("--merge-probe-cap", type=int, default=0, metavar="N",
+                   help="max index hits walked per merge probe (0 = auto)")
     p.add_argument("--checkpoint", metavar="DIR", default=None,
                    help="stage checkpoint dir; reruns resume from the newest "
                         "completed stage (same input + flags required)")
@@ -61,7 +70,10 @@ def main(argv=None) -> int:
         contig_window=args.w, num_dicts=args.s, thr_step=args.S,
         max_threshold=args.E, cb_threshold=args.g, max_rounds=args.R,
         order=args.p, threads=args.t, codec=args.codec,
-        checkpoint_dir=args.checkpoint)
+        checkpoint_dir=args.checkpoint,
+        merge_revote=not args.no_merge_revote,
+        merge_rank_cap=args.merge_rank_cap,
+        merge_probe_cap=args.merge_probe_cap)
 
     if args.d:
         out = args.o or os.path.splitext(args.d)[0] + "_dec.reads"

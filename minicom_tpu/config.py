@@ -56,8 +56,8 @@ class CompressorConfig:
     merge_rank_cap: int = 0
     merge_probe_cap: int = 0
 
-    # entropy backend: "auto" (best of xz/o1rc per stream) | "xz" | "o1rc"
-    # | "bz2" | "zlib" | "store"
+    # entropy backend: "auto" (best per stream) | "xz" | "o1rc" | "o2rc"
+    # | "dnarc" | "bz2" | "zlib" | "store"
     codec: str = "auto"
 
     # stage checkpoint/resume directory (None = off). Reruns with the same

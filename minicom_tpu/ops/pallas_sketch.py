@@ -168,9 +168,9 @@ def _sketch_kernel(codes_ref, len_ref, hi_ref, lo_ref, meta_ref, nv_ref,
 def sketch_windowed_pallas(codes: jnp.ndarray, lengths: jnp.ndarray,
                            k: int, w: int, m: int, block: int = 8,
                            interpret: bool = False):
-    """Pallas counterpart of sketch_windowed_gather_compact's body: returns
-    (kmer_hi, kmer_lo, meta = end_pos << 1 | strand, nvalid) — the
-    transfer-minimal output set the merge stage ships through the tunnel.
+    """Pallas counterpart of sketch_windowed_compact32's windowed-minimizer
+    body: returns (kmer_hi, kmer_lo, meta = end_pos << 1 | strand, nvalid) —
+    the transfer-minimal output set the merge stage ships through the tunnel.
 
     codes [C, Lmax] uint8 with C % block == 0; lengths [C] int32.
     """

@@ -234,7 +234,11 @@ def gather_contig_rows(ref_flat: jnp.ndarray, sl: jnp.ndarray, Lmax: int):
 def sketch_windowed_compact32(codes: jnp.ndarray, lengths: jnp.ndarray,
                               k: int, w: int, m: int):
     """sketch_windowed over pre-gathered rows with the transfer-minimal
-    32-bit-hashed output buffer (see sketch_windowed_gather_compact32)."""
+    output buffer: one flat uint32 array laid out as rows*m 32-bit-hashed
+    keys (mix32 of the 64-bit canonical k-mer), then rows*m packed meta
+    words (pos<<1 | strand), then rows valid-counts nv. Hashed 32-bit keys
+    are safe as grouping keys because every candidate pair is re-verified
+    against the real bases."""
     h, hi, lo, pos, strand, valid = _sketch_windowed_body(
         codes, lengths, k, w, m)
     meta = (pos << 1) | strand.astype(jnp.int32)

@@ -155,10 +155,15 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int,
     b0, b1 = dist.my_partition(np.array([p[3] * p[2] for p in plan]))
 
     # device gathers index the flat stream with int32 (strictly-32-bit device
-    # code); a >2^31-element contig stream would wrap silently
-    assert len(cs.ref_flat) < 2**31, "contig stream exceeds int32 gather range"
+    # code): pad rows point at len(ref_pad) and gather_contig_rows adds up to
+    # Lmax, so the PADDED length plus the largest rung must stay below 2^31
+    # or the int32 assignment below / the on-device add would wrap
+    pad_len = _pow2(max(len(cs.ref_flat), _REF_PAD_FLOOR))
+    max_rung = max(p[2] for p in plan)
+    assert pad_len + max_rung < 2**31, \
+        "padded contig stream exceeds int32 gather range"
     from minicom_tpu.ops.sketch import gather_contig_rows
-    ref_pad = np.zeros(_pow2(max(len(cs.ref_flat), _REF_PAD_FLOOR)), np.uint8)
+    ref_pad = np.zeros(pad_len, np.uint8)
     ref_pad[: len(cs.ref_flat)] = cs.ref_flat
     ref_dev = replicate(jnp.asarray(ref_pad))
     sketch_fn = _sketch_codes_fn()
@@ -211,7 +216,9 @@ def start_sketch_warmup(k: int, w: int, rank_cap: int) -> None:
     """Launch warmup_sketch_programs on a background thread (once per
     process). The thread is joined at interpreter exit: a device call still
     in flight when the main thread tears down the PJRT client aborts the
-    process with an unrethrown C++ exception."""
+    process with an unrethrown C++ exception. The join is bounded (120 s) so
+    a wedged tunnel compile cannot hang an otherwise-finished run forever —
+    past the bound we accept the small abort risk over an indefinite hang."""
     global _WARMUP_THREAD
     if _WARMUP_THREAD is not None:
         return
@@ -220,7 +227,7 @@ def start_sketch_warmup(k: int, w: int, rank_cap: int) -> None:
     th = threading.Thread(target=warmup_sketch_programs,
                           args=(k, w, rank_cap), daemon=True)
     _WARMUP_THREAD = th
-    atexit.register(th.join)
+    atexit.register(lambda: th.join(timeout=120))
     th.start()
 
 
@@ -241,8 +248,11 @@ def warmup_sketch_programs(k: int, w: int, rank_cap: int,
         while Lmax <= max(max_len_hint, _LMAX_FLOOR):
             tile = _rows_tile(Lmax)
             mb = _batch_m(Lmax, k, w, rank_cap)
-            codes = jnp.zeros((tile, Lmax), jnp.uint8)
-            ln = jnp.zeros(tile, jnp.int32)
+            # replicate() so the input shardings (hence the jit cache keys)
+            # match the real path, which feeds gather outputs derived from a
+            # replicated contig stream when a mesh is active
+            codes = replicate(jnp.zeros((tile, Lmax), jnp.uint8))
+            ln = replicate(jnp.zeros(tile, jnp.int32))
             sketch_fn(codes, ln, k, min(w, Lmax - k + 1), mb
                       ).block_until_ready()
             Lmax *= 4

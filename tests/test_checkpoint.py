@@ -87,6 +87,39 @@ def test_stale_checkpoints_ignored(tmp_path, rng):
     assert "resumed_from" not in st.counters
 
 
+def test_midfile_edit_invalidates_fingerprint(tmp_path):
+    """An edit in the MIDDLE of a same-size input must change the fingerprint
+    (VERDICT r03 weak #7: head/tail-only hashing silently resumed from stale
+    state). The 3 MiB file exceeds the 1 MiB head+tail windows, so this edit
+    is only caught by the interior-stride hashing."""
+    from minicom_tpu.checkpoint import fingerprint
+    cfg = CompressorConfig()
+    p = tmp_path / "big.fastq"
+    data = bytearray(os.urandom(3 << 20))
+    p.write_bytes(data)
+    fp0 = fingerprint([str(p)], cfg)
+    data[len(data) // 2] ^= 0xFF  # flip one mid-file byte; size unchanged
+    p.write_bytes(data)
+    assert fingerprint([str(p)], cfg) != fp0
+
+
+def test_midfile_edit_invalidates_fingerprint_large(tmp_path):
+    """Same, at a size where strided sampling (not full-interior hashing)
+    is in effect — the edit lands on a sampled stride offset."""
+    from minicom_tpu import checkpoint as ck
+    cfg = CompressorConfig()
+    size = ck._HEAD_TAIL * 2 + ck._N_STRIDES * ck._STRIDE_CHUNK * 3
+    p = tmp_path / "huge.fastq"
+    data = bytearray(size)  # zeros are fine; only the delta matters
+    p.write_bytes(data)
+    fp0 = ck.fingerprint([str(p)], cfg)
+    lo, hi = ck._HEAD_TAIL, size - ck._HEAD_TAIL
+    off = lo + (hi - lo) * (ck._N_STRIDES // 2) // ck._N_STRIDES
+    data[off] = 0xAB  # exactly at a sampled stride point
+    p.write_bytes(data)
+    assert ck.fingerprint([str(p)], cfg) != fp0
+
+
 def test_corrupt_checkpoint_recomputed(tmp_path, rng):
     fq = tmp_path / "in.fastq"
     write_fastq(str(fq), _genome_reads(rng))

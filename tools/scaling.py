@@ -51,14 +51,25 @@ def run_group(nproc: int, fq: str, outdir: str, threads: int) -> dict:
             [sys.executable, WORKER, coord, str(nproc), str(pid),
              str(threads), fq, out],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT))
+            stderr=subprocess.PIPE))
     encode_s = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=7200)
+        stdout, stderr = p.communicate(timeout=7200)
         text = stdout.decode(errors="replace")
         if p.returncode != 0:
-            raise RuntimeError(f"rank failed (nproc={nproc}):\n{text[-3000:]}")
-        encode_s.append(json.loads(text.strip().splitlines()[-1])["encode_s"])
+            err = stderr.decode(errors="replace")
+            raise RuntimeError(
+                f"rank failed (nproc={nproc}):\n{text[-1500:]}\n{err[-1500:]}")
+        # scan backwards for the result line: libraries may append warnings
+        # to stdout after the worker's JSON (JAX teardown noise is common)
+        for line in reversed(text.strip().splitlines()):
+            try:
+                encode_s.append(json.loads(line)["encode_s"])
+                break
+            except (json.JSONDecodeError, KeyError):
+                continue
+        else:
+            raise RuntimeError(f"no JSON result from rank:\n{text[-1500:]}")
     return {"nproc": nproc, "threads_per_rank": threads,
             "encode_s": max(encode_s), "wall_s": round(time.time() - t0, 3),
             "archive_bytes": os.path.getsize(out), "archive_path": out}
