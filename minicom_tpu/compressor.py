@@ -94,10 +94,11 @@ def _compress(reads_path, out_path, cfg, reads_path2, stats) -> dict:
         # warmup compiles would, and the serialized compile queue would only
         # delay the programs the run actually needs)
         import jax
+        from minicom_tpu.pipeline import merge as merge_mod
         if (jax.default_backend() != "cpu"
                 and n_seq * max(L, 1) >= 4_000_000
-                and os.environ.get("MTC_WARMUP", "1") == "1"):
-            from minicom_tpu.pipeline import merge as merge_mod
+                and os.environ.get("MTC_WARMUP", "1") == "1"
+                and not merge_mod.use_host_sketch()):
             merge_mod.start_sketch_warmup(rcfg.k, rcfg.contig_window,
                                           rcfg.merge_rank_cap)
     if rank < 1:
@@ -132,7 +133,8 @@ def _compress(reads_path, out_path, cfg, reads_path2, stats) -> dict:
     if rank < 3:
         with stats.stage("realign"):
             cset, sg, extra_a, extra_t = realign_ladder(
-                cset, sg, cls.codes_sub, cls.n_mask, rcfg)
+                cset, sg, cls.codes_sub, cls.n_mask, rcfg,
+                stats=stats.counters)
         if ck:
             ck.save("realign", cset, sg,
                     {"extra_a": extra_a, "extra_t": extra_t})

@@ -20,7 +20,8 @@ _SRCS = [os.path.join(_DIR, "diffcodec.cpp"),
          os.path.join(_DIR, "rangecoder.cpp"),
          os.path.join(_DIR, "realign.cpp"),
          os.path.join(_DIR, "fastq.cpp"),
-         os.path.join(_DIR, "consensus.cpp")]
+         os.path.join(_DIR, "consensus.cpp"),
+         os.path.join(_DIR, "sketch.cpp")]
 
 _lib = None
 
@@ -108,6 +109,12 @@ def _load():
                                        ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_int32, ctypes.c_void_p]
+        lib.sketch_windowed_host.restype = None
+        lib.sketch_windowed_host.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.consensus_host.restype = None
         lib.consensus_host.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_void_p,
@@ -380,6 +387,35 @@ def consensus_host(codes_sub: np.ndarray, rid2d: np.ndarray, col: np.ndarray,
                        colptr.ctypes.data, len(segptr) - 1, span, want,
                        ref.ctypes.data, diffs.ctypes.data)
     return (ref if want_ref else None), (diffs if want_diffs else None)
+
+
+def sketch_windowed_host(ref_flat: np.ndarray, starts: np.ndarray,
+                         rlens: np.ndarray, k: int, we_row: np.ndarray,
+                         mcap_row: np.ndarray, m_max: int):
+    """Windowed-minimizer sketch of rows at (start, len) into ref_flat, on
+    the host (sketch.cpp — the single-chip twin of
+    ops/sketch.py::sketch_windowed_compact32; identical emission rule and
+    32-bit ranking hash, so both paths produce identical archives).
+    Returns (key32 [R, m_max] u32, meta [R, m_max] i32, nv [R] i32) or None
+    when the native lib is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    n_rows = len(starts)
+    ref_flat = _as_c(ref_flat)
+    starts = np.ascontiguousarray(starts, np.int64)
+    rlens = np.ascontiguousarray(rlens, np.int32)
+    we_row = np.ascontiguousarray(we_row, np.int32)
+    mcap_row = np.ascontiguousarray(mcap_row, np.int32)
+    key = np.zeros((n_rows, m_max), np.uint32)
+    meta = np.zeros((n_rows, m_max), np.int32)
+    nv = np.zeros(n_rows, np.int32)
+    if n_rows:
+        lib.sketch_windowed_host(
+            ref_flat.ctypes.data, starts.ctypes.data, rlens.ctypes.data,
+            n_rows, int(k), we_row.ctypes.data, mcap_row.ctypes.data,
+            int(m_max), key.ctypes.data, meta.ctypes.data, nv.ctypes.data)
+    return key, meta, nv
 
 
 def set_threads(n: int) -> None:

@@ -27,7 +27,22 @@ import jax.numpy as jnp
 
 from minicom_tpu.config import ResolvedConfig
 from minicom_tpu.parallel import distributed as dist
+import contextlib
 import os
+import time
+
+
+@contextlib.contextmanager
+def _sub(stats: dict | None, key: str):
+    """Accumulate a sub-stage wall split into stats['<key>_s'] — the
+    evidence layer for per-stage perf work (VERDICT r03 item 1)."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        if stats is not None:
+            stats[key + "_s"] = round(
+                stats.get(key + "_s", 0.0) + time.perf_counter() - t0, 3)
 
 
 def _sketch_codes_fn():
@@ -47,6 +62,23 @@ def _sketch_codes_fn():
         return sketch_windowed_pallas_compact32
     from minicom_tpu.ops.sketch import sketch_windowed_compact32
     return sketch_windowed_compact32
+
+
+def use_host_sketch() -> bool:
+    """Single-chip fast path (the consensus.cpp pattern): without an active
+    device mesh the contig sketch runs in the native host kernel
+    (native/sketch.cpp) — through the tunneled chip the device path is
+    latency-bound (~30-50 ms per fetched array + ~60 MB/s bandwidth; measured
+    A/B in BENCH_SCALE_r04). Sharded/multichip runs keep the device kernels
+    (bit-identical output, tests/test_sketch.py::test_native_windowed_
+    matches_xla, so the archive never depends on the path). MTC_HOST_SKETCH
+    =0/1 overrides."""
+    env = os.environ.get("MTC_HOST_SKETCH")
+    if env is not None:
+        return env == "1"
+    from minicom_tpu import native
+    from minicom_tpu.parallel.mesh import active_mesh
+    return active_mesh() is None and native.has_native()
 
 
 def _batch_m(Lmax: int, k: int, w: int, cap: int) -> int:
@@ -154,43 +186,65 @@ def sketch_contigs(cs: ClusterSet, k: int, w: int,
         i = j
     b0, b1 = dist.my_partition(np.array([p[3] * p[2] for p in plan]))
 
-    # device gathers index the flat stream with int32 (strictly-32-bit device
-    # code): pad rows point at len(ref_pad) and gather_contig_rows adds up to
-    # Lmax, so the PADDED length plus the largest rung must stay below 2^31
-    # or the int32 assignment below / the on-device add would wrap
-    pad_len = _pow2(max(len(cs.ref_flat), _REF_PAD_FLOOR))
-    max_rung = max(p[2] for p in plan)
-    assert pad_len + max_rung < 2**31, \
-        "padded contig stream exceeds int32 gather range"
-    from minicom_tpu.ops.sketch import gather_contig_rows
-    ref_pad = np.zeros(pad_len, np.uint8)
-    ref_pad[: len(cs.ref_flat)] = cs.ref_flat
-    ref_dev = replicate(jnp.asarray(ref_pad))
-    sketch_fn = _sketch_codes_fn()
-    outs = []
-    for i, j, Lmax, tile in plan[b0:b1]:
-        batch = order[i:j]
-        nb = len(batch)
-        # ONE packed [2, tile] upload per chunk: row 0 starts, row 1 lengths
-        # (pad rows gather out of range -> fill 0, length 0 -> nv 0)
-        sl = np.zeros((2, tile), np.int32)
-        sl[0] = len(ref_pad)
-        sl[0, :nb] = cs.ref_ptr[batch]
-        sl[1, :nb] = lens[batch]
-        mb = _batch_m(Lmax, k, w, rank_cap)
-        codes, ln = gather_contig_rows(ref_dev, jnp.asarray(sl), Lmax)
-        out = sketch_fn(codes, ln, k, min(w, Lmax - k + 1), mb)
-        outs.append((batch, nb, tile, mb, out))
+    if use_host_sketch():
+        # native host kernel, same plan chunks and per-chunk (we, mb) as the
+        # device path so the flat output order — which feeds the stable index
+        # sort and the capped probe walk — is byte-identical either way
+        from minicom_tpu import native
+        parsed = []
+        for i, j, Lmax, tile in plan[b0:b1]:
+            batch = order[i:j]
+            nb = len(batch)
+            mb = _batch_m(Lmax, k, w, rank_cap)
+            we = np.full(nb, min(w, Lmax - k + 1), np.int32)
+            mc = np.full(nb, mb, np.int32)
+            key, meta, nv = native.sketch_windowed_host(
+                cs.ref_flat, cs.ref_ptr[batch], lens[batch], k, we, mc, mb)
+            parsed.append((batch, mb, key, meta, nv))
+    else:
+        # device gathers index the flat stream with int32 (strictly-32-bit
+        # device code): pad rows point at len(ref_pad) and gather_contig_rows
+        # adds up to Lmax, so the PADDED length plus the largest rung must
+        # stay below 2^31 or the int32 assignment below / the on-device add
+        # would wrap
+        pad_len = _pow2(max(len(cs.ref_flat), _REF_PAD_FLOOR))
+        max_rung = max(p[2] for p in plan)
+        assert pad_len + max_rung < 2**31, \
+            "padded contig stream exceeds int32 gather range"
+        from minicom_tpu.ops.sketch import gather_contig_rows
+        ref_pad = np.zeros(pad_len, np.uint8)
+        ref_pad[: len(cs.ref_flat)] = cs.ref_flat
+        ref_dev = replicate(jnp.asarray(ref_pad))
+        sketch_fn = _sketch_codes_fn()
+        outs = []
+        for i, j, Lmax, tile in plan[b0:b1]:
+            batch = order[i:j]
+            nb = len(batch)
+            # ONE packed [2, tile] upload per chunk: row 0 starts, row 1
+            # lengths (pad rows gather out of range -> fill 0, len 0 -> nv 0)
+            sl = np.zeros((2, tile), np.int32)
+            sl[0] = len(ref_pad)
+            sl[0, :nb] = cs.ref_ptr[batch]
+            sl[1, :nb] = lens[batch]
+            mb = _batch_m(Lmax, k, w, rank_cap)
+            codes, ln = gather_contig_rows(ref_dev, jnp.asarray(sl), Lmax)
+            out = sketch_fn(codes, ln, k, min(w, Lmax - k + 1), mb)
+            outs.append((batch, nb, tile, mb, out))
+        flat = fetch([out for (_, _, _, _, out) in outs])
+        parsed = []
+        for (batch, nb, nb_pad, mb, _), buf in zip(outs, flat):
+            # buf layout: key32 | meta | nv (sketch_windowed_compact32)
+            cm = nb_pad * mb
+            parsed.append((batch, mb,
+                           buf[:cm].reshape(nb_pad, mb)[:nb],
+                           buf[cm:2 * cm].view(np.int32)
+                           .reshape(nb_pad, mb)[:nb],
+                           buf[2 * cm:].view(np.int32)[:nb]))
+
     keys, cids, poss, dirs, ranks = [[np.zeros(0, d)] for d in
                                      (np.uint32, np.int64, np.int32,
                                       np.int8, np.int32)]
-    flat = fetch([out for (_, _, _, _, out) in outs])
-    for (batch, nb, nb_pad, mb, _), buf in zip(outs, flat):
-        # buf layout: key32 | meta | nv (sketch_windowed_compact32)
-        cm = nb_pad * mb
-        key = buf[:cm].reshape(nb_pad, mb)[:nb]
-        meta = buf[cm:2 * cm].view(np.int32).reshape(nb_pad, mb)[:nb]
-        nv = buf[2 * cm:].view(np.int32)[:nb]
+    for batch, mb, key, meta, nv in parsed:
         if stats is not None:
             # rows whose slot budget saturated (true emission count unknown
             # past mb) — the honest drop signal for the rank cap
@@ -381,8 +435,9 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
     new_from = None  # incremental probing: only pairs touching ids >= this
     while cset.n_clusters > 1:
         if sk is None:
-            sk = sketch_contigs(cset, cfg.k, cfg.contig_window,
-                                cfg.merge_rank_cap, stats)
+            with _sub(stats, "merge_sketch"):
+                sk = sketch_contigs(cset, cfg.k, cfg.contig_window,
+                                    cfg.merge_rank_cap, stats)
         # After the first iteration only pairs touching a freshly-merged
         # contig can exist: the multi-pass matching below is maximal (the
         # globally earliest live candidate is always taken), so any
@@ -390,11 +445,13 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
         # merged, and score-rejected pairs stay rejected because neither
         # contig changed. This replaces the reference's full index rebuild
         # per generation (kthread_cb.c:580) with an exact incremental search.
-        a, b, d = _candidate_pairs(*sk, cfg.first_minimizers, stats, new_from,
-                                   cfg.merge_probe_cap)
+        with _sub(stats, "merge_candidates"):
+            a, b, d = _candidate_pairs(*sk, cfg.first_minimizers, stats,
+                                       new_from, cfg.merge_probe_cap)
         n_merges = 0
         if len(a):
-            scores = _score_pairs(cset, a, b, d, cfg.cb_threshold)
+            with _sub(stats, "merge_score"):
+                scores = _score_pairs(cset, a, b, d, cfg.cb_threshold)
             ok = scores <= cfg.cb_threshold
             a, b, d, scores = a[ok], b[ok], d[ok], scores[ok]
             # deterministic matching, best score first: multi-pass
@@ -402,6 +459,7 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
             # the earliest remaining entry for BOTH its endpoints) — a
             # vectorized maximal matching replacing the reference's trylock
             # race AND the former per-candidate Python loop
+            t_match0 = time.perf_counter()
             order = np.lexsort((d, b, a, scores))
             a_s, b_s, d_s = a[order], b[order], d[order]
             matched = np.zeros(cset.n_clusters, bool)
@@ -428,11 +486,16 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
                 matched[a_s[sel]] = matched[b_s[sel]] = True
                 live = live[~take]
             n_merges = sum(len(x) for x in pa)
+            if stats is not None:
+                stats["merge_match_s"] = round(
+                    stats.get("merge_match_s", 0.0)
+                    + time.perf_counter() - t_match0, 3)
             if n_merges:
-                cset, kept_old, n_pairs = _apply_merges(
-                    cset, np.concatenate(pa), np.concatenate(pb),
-                    np.concatenate(pd),
-                    (codes_host, codes_dev) if revote else None)
+                with _sub(stats, "merge_apply"):
+                    cset, kept_old, n_pairs = _apply_merges(
+                        cset, np.concatenate(pa), np.concatenate(pb),
+                        np.concatenate(pd),
+                        (codes_host, codes_dev) if revote else None)
                 # Incremental re-sketch: untouched contigs keep their cached
                 # minimizers (per-contig sketches are batch-independent);
                 # only the n_pairs merged contigs — appended after the
@@ -444,9 +507,10 @@ def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,
                 key, cid, pos, strand, rank = sk
                 live = remap[cid] >= 0
                 merged_ids = np.arange(n_keep, n_keep + n_pairs)
-                fk, fc, fp, fs, fr = sketch_contigs(
-                    _select(cset, merged_ids), cfg.k, cfg.contig_window,
-                    cfg.merge_rank_cap, stats)
+                with _sub(stats, "merge_sketch"):
+                    fk, fc, fp, fs, fr = sketch_contigs(
+                        _select(cset, merged_ids), cfg.k, cfg.contig_window,
+                        cfg.merge_rank_cap, stats)
                 sk = (np.concatenate([key[live], fk]),
                       np.concatenate([remap[cid[live]], fc + n_keep]),
                       np.concatenate([pos[live], fp]),

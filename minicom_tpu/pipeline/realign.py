@@ -76,8 +76,10 @@ def _window_keys(ref_flat, win_starts, seg_start, seg_len):
 
 
 def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
-                   n_mask: np.ndarray, cfg: ResolvedConfig):
+                   n_mask: np.ndarray, cfg: ResolvedConfig,
+                   stats: dict | None = None):
     """Returns (cset', sg_leftover, absorbed_nearA, absorbed_nearT)."""
+    from minicom_tpu.pipeline.merge import _sub
     L = cset.readlen
     extra_a: list[np.ndarray] = [np.zeros(0, np.int64)]
     extra_t: list[np.ndarray] = [np.zeros(0, np.int64)]
@@ -91,31 +93,42 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
     big_input = len(sg) > 1_000_000 and L >= 68
 
     thr = cfg.diff_threshold
-    while thr <= cfg.max_threshold and len(sg):
+    pop_a = pop_t = None    # per-read base-diff counts vs all-A / all-T:
+    prev_thr = -1           # rung-invariant — computed once, subset as sg
+    while thr <= cfg.max_threshold and len(sg):   # shrinks (r04 absorb diet)
         # --- near-allA/allT absorption at this threshold ------------------
-        sgc = codes_sub[sg]
-        pop_a = popcount_u32(pack_2bit_words(sgc)).sum(axis=1)      # vs all-A(0)
-        rc_t = pack_2bit_words(3 - sgc)
-        pop_t = popcount_u32(rc_t).sum(axis=1)                      # vs all-T(3)
-        cand_a = pop_a <= thr
-        cand_t = ~cand_a & (pop_t <= thr)
-        absorbed = np.zeros(len(sg), bool)
-        for mask, const, bucket in ((cand_a, b"A", extra_a),
-                                    (cand_t, b"T", extra_t)):
-            rows = np.flatnonzero(mask)
-            if len(rows) == 0:
-                continue
-            restored = codes_sub[sg[rows]].copy()
-            restored[n_mask[sg[rows]]] = 4
-            lens = diff_encode_lengths(
-                np.full((len(rows), L), const[0], np.uint8),
-                codes_to_ascii(restored), 1)
-            take = rows[lens <= 0.4 * L]
-            if len(take):
-                bucket.append(sg[take])
-                absorbed[take] = True
-        if absorbed.any():
-            sg = sg[~absorbed]
+        with _sub(stats, "realign_absorb"):
+            if pop_a is None:
+                sgc0 = codes_sub[sg]
+                pop_a = popcount_u32(pack_2bit_words(sgc0)).sum(axis=1)
+                pop_t = popcount_u32(pack_2bit_words(3 - sgc0)).sum(axis=1)
+                del sgc0
+            cand_a = pop_a <= thr
+            cand_t = ~cand_a & (pop_t <= thr)
+            # the encode-cost check is also rung-invariant, so only reads
+            # whose popcount FIRST clears the (growing) threshold at this
+            # rung need it — earlier-rung failures stay failures
+            new_a = cand_a & (pop_a > prev_thr)
+            new_t = cand_t & (pop_t > prev_thr)
+            absorbed = np.zeros(len(sg), bool)
+            for mask, const, bucket in ((new_a, b"A", extra_a),
+                                        (new_t, b"T", extra_t)):
+                rows = np.flatnonzero(mask)
+                if len(rows) == 0:
+                    continue
+                restored = codes_sub[sg[rows]].copy()
+                restored[n_mask[sg[rows]]] = 4
+                lens = diff_encode_lengths(
+                    np.full((len(rows), L), const[0], np.uint8),
+                    codes_to_ascii(restored), 1)
+                take = rows[lens <= 0.4 * L]
+                if len(take):
+                    bucket.append(sg[take])
+                    absorbed[take] = True
+            prev_thr = thr
+            if absorbed.any():
+                keep = ~absorbed
+                sg, pop_a, pop_t = sg[keep], pop_a[keep], pop_t[keep]
         if len(sg) == 0:
             break
 
@@ -127,7 +140,9 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
         from minicom_tpu import native
         from minicom_tpu.parallel import distributed as dist
         sgc = codes_sub[sg]
-        probe = _probe_native_sharded(dist, native, cset, sgc, ranges, cfg, thr)
+        with _sub(stats, "realign_probe"):
+            probe = _probe_native_sharded(dist, native, cset, sgc, ranges,
+                                          cfg, thr)
         if probe is not None:
             cand_sg, cand_cl, cand_off, cand_dir, cand_pop = (
                 x.astype(np.int64) if x.dtype != np.int8 else x
@@ -161,17 +176,20 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
 
         # --- best candidate per read (deterministic claim) ----------------
         if len(cand_sg):
-            order = np.lexsort((cand_dir, cand_off, cand_cl, cand_pop, cand_sg))
-            first = np.ones(len(order), bool)
-            ss = cand_sg[order]
-            first[1:] = ss[1:] != ss[:-1]
-            pick = order[first]
-            new_members.append((sg[cand_sg[pick]], cand_cl[pick],
-                               cand_off[pick], cand_dir[pick]))
-            claimed = np.zeros(len(sg), bool)
-            claimed[cand_sg[pick]] = True
-            claimed_total += int(claimed.sum())
-            sg = sg[~claimed]
+            with _sub(stats, "realign_claim"):
+                order = np.lexsort((cand_dir, cand_off, cand_cl, cand_pop,
+                                    cand_sg))
+                first = np.ones(len(order), bool)
+                ss = cand_sg[order]
+                first[1:] = ss[1:] != ss[:-1]
+                pick = order[first]
+                new_members.append((sg[cand_sg[pick]], cand_cl[pick],
+                                   cand_off[pick], cand_dir[pick]))
+                claimed = np.zeros(len(sg), bool)
+                claimed[cand_sg[pick]] = True
+                claimed_total += int(claimed.sum())
+                keep = ~claimed
+                sg, pop_a, pop_t = sg[keep], pop_a[keep], pop_t[keep]
 
         # stopping rule (preprocess.c:219-228)
         max_new = 10_000 if big_input else 1_000

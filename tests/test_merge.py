@@ -159,6 +159,28 @@ def test_revote_consensus_is_member_majority_vote(rng):
         np.testing.assert_array_equal(got, want)
 
 
+def test_host_sketch_archive_identical(tmp_path, rng, monkeypatch):
+    """The native host contig sketch (single-chip fast path) and the device
+    sketch path produce byte-identical archives — which path ran is never
+    observable in the output (the consensus.cpp dual-path guarantee, extended
+    to the merge stage)."""
+    from minicom_tpu import compressor, native
+    from tests.conftest import write_fastq
+    if not native.has_native():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    reads = genome_reads(rng, 1200, 100, genome_len=3000, err=0.01)
+    fq = str(tmp_path / "in.fastq")
+    write_fastq(fq, reads)
+    blobs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("MTC_HOST_SKETCH", flag)
+        arc = str(tmp_path / f"s{flag}.mtc")
+        compressor.compress(fq, arc, CompressorConfig())
+        blobs[flag] = open(arc, "rb").read()
+    assert blobs["1"] == blobs["0"]
+
+
 def test_revote_roundtrip_and_size(tmp_path, rng):
     """End-to-end: revote on (default) and off both roundtrip; revote never
     produces a larger archive on clusterable data."""

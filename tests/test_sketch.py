@@ -168,6 +168,40 @@ def test_pallas_windowed_matches_xla(rng):
             (pos[valid] << 1) | strand[valid], gmeta[gv])
 
 
+def test_native_windowed_matches_xla(rng):
+    """The native host sketch (sketch.cpp — the single-chip merge fast path)
+    emits buffers bit-identical to the XLA windowed sketch: same keys, meta
+    and counts for every row, including short rows, palindromic k-mers and
+    rows shorter than k."""
+    from minicom_tpu import native
+    from minicom_tpu.ops.sketch import sketch_windowed_compact32
+    if not native.has_native():
+        pytest.skip("native toolchain unavailable")
+
+    ref = rng.integers(0, 4, 4096, dtype=np.uint8)
+    for k, w, m, Lmax in [(17, 11, 48, 512), (31, 19, 24, 256),
+                          (4, 3, 16, 128)]:
+        starts = rng.integers(0, 2048, 40).astype(np.int64)
+        lengths = rng.integers(1, Lmax + 1, 40).astype(np.int32)
+        we = min(w, Lmax - k + 1)
+        codes = np.zeros((40, Lmax), np.uint8)
+        for i in range(40):
+            codes[i, :lengths[i]] = ref[starts[i]:starts[i] + lengths[i]]
+        buf = np.asarray(sketch_windowed_compact32(
+            jnp.asarray(codes), jnp.asarray(lengths), k, we, m))
+        cm = 40 * m
+        xk = buf[:cm].reshape(40, m)
+        xm = buf[cm:2 * cm].view(np.int32).reshape(40, m)
+        xnv = buf[2 * cm:].view(np.int32)
+        nk, nm, nnv = native.sketch_windowed_host(
+            ref, starts, lengths, k,
+            np.full(40, we, np.int32), np.full(40, m, np.int32), m)
+        np.testing.assert_array_equal(xnv, nnv)
+        v = np.arange(m)[None, :] < xnv[:, None]
+        np.testing.assert_array_equal(xk[v], nk[v])
+        np.testing.assert_array_equal(xm[v], nm[v])
+
+
 def test_gather32_pallas_matches_xla(rng):
     """The 32-bit hashed-key compact kernels (merge's actual entry points,
     fed by the shared gather) produce identical buffers: Pallas interpret

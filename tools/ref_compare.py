@@ -4,11 +4,15 @@ The reference (yuansliu/minicom) recompiles per input: the shell writes
 src/config.h with the read length + tuning macros and runs make
 (/root/reference/minicom:56-106). This tool reproduces that flow in a
 scratch copy of the source tree, runs the produced `minicomsg`, then
-entropy-codes the raw stream groups exactly as `minicom:110-148` does —
-substituting `xz -9e` for the bsc binary that install.sh would download
-(no network in this environment; same substitution applied to both sides
-would be a wash, but our archive uses the package's own codecs, so the
-comparison below is reference-pipeline+xz vs minicom_tpu end-to-end).
+entropy-codes each raw stream group exactly as `minicom:110-148` does —
+substituting the BEST OF `xz -9e` (LZMA) and `bz2 -9` (BWT+MTF, the same
+family as the real bsc backend that install.sh would download; no network in
+this environment) per stream. Both per-stream size tables are reported so
+the size comparison is attributable stream by stream.
+
+It also times the reference `decompress` binary on the produced raw streams
+(the decode-side head-to-head; decompress.c:1225-1317 reads the stream files
+minicomsg wrote, so no tar/bsc round trip is needed).
 
 Usage: python tools/ref_compare.py IN.fastq [--threads N] [--keep]
 Prints one JSON line: {"ref_stream_bytes": ..., "ref_wall_s": ..., ...}.
@@ -20,6 +24,7 @@ benchmarks skip the ~1 min compile.
 from __future__ import annotations
 
 import argparse
+import bz2 as bz2lib
 import glob
 import io
 import json
@@ -39,6 +44,11 @@ _XZ_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 9 | lzma.PRESET_EXTREME}]
 
 def xz(data: bytes) -> bytes:
     return lzma.compress(data, format=lzma.FORMAT_RAW, filters=_XZ_FILTERS)
+
+
+def code_both(data: bytes) -> tuple[int, int]:
+    """(xz -9e bytes, bz2 -9 bytes) of one stream group."""
+    return len(xz(data)), len(bz2lib.compress(data, 9))
 
 
 def read_len_of(fastq: str) -> int:
@@ -99,30 +109,72 @@ def run_reference(fastq: str, threads: int = 24, keep: bool = False) -> dict:
         "refbin": "ref.bin.*",
         "dirbin": "dir.bin.*",
     }
-    sizes = {}
-    total = 0
+    sizes = {}          # per-stream {name: {"xz": n, "bz2": n}}
+    total_xz = 0        # xz-only total (continuity with earlier rounds)
+    total_best = 0      # best-of(xz, bz2) per stream — the bsc-credible proxy
     for gname, pat in groups.items():
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tf:
             for p in sorted(glob.glob(os.path.join(out, pat))):
                 tf.add(p, arcname=os.path.basename(p))
-        blob = xz(buf.getvalue())
-        sizes[gname] = len(blob)
-        total += len(blob)
+        nxz, nbz = code_both(buf.getvalue())
+        sizes[gname] = {"xz": nxz, "bz2": nbz}
+        total_xz += nxz
+        total_best += min(nxz, nbz)
     for fname in ["single_N.seq", "single.seq", "AA.txt", "TT.txt", "NN.txt"]:
         p = os.path.join(out, fname)
         data = open(p, "rb").read() if os.path.exists(p) else b""
-        blob = xz(data)
-        sizes[fname] = len(blob)
-        total += len(blob)
+        nxz, nbz = code_both(data)
+        sizes[fname] = {"xz": nxz, "bz2": nbz}
+        total_xz += nxz
+        total_best += min(nxz, nbz)
     info = os.path.join(out, "info.txt")
     info_len = os.path.getsize(info) if os.path.exists(info) else 0
-    total += info_len
+    total_xz += info_len
+    total_best += info_len
+
+    dec = time_reference_decode(out, threads)
     if not keep:
         shutil.rmtree(work, ignore_errors=True)
-    return {"ref_stream_bytes": total, "ref_wall_s": round(wall, 2),
+    return {"ref_stream_bytes": total_xz,
+            "ref_stream_bytes_bwt": total_best,
+            "ref_wall_s": round(wall, 2),
+            "ref_decode_wall_s": dec,
             "ref_threads": threads, "ref_sizes": sizes,
             "ref_dir": out if keep else None}
+
+
+def build_decompress() -> str:
+    """The reference decompress binary is config-independent — one cached
+    build serves every input (Makefile:26-27; decompress.c includes no
+    config.h)."""
+    cache = "/tmp/minicom_ref_build_decompress"
+    binary = os.path.join(cache, "src", "decompress")
+    if os.path.exists(binary):
+        return binary
+    shutil.rmtree(cache, ignore_errors=True)
+    os.makedirs(cache)
+    shutil.copytree(REF_SRC, os.path.join(cache, "src"))
+    subprocess.run(["make", "-C", os.path.join(cache, "src"), "decompress"],
+                   check=True, capture_output=True)
+    return binary
+
+
+def time_reference_decode(stream_dir: str, threads: int) -> float | None:
+    """Wall time of the reference `decompress` binary on minicomsg's raw
+    streams (unordered SG mode: `decompress DIR RESULT f f T`,
+    minicom:383, decompress.c:1225-1296). Returns None if the run fails."""
+    try:
+        binary = build_decompress()
+        result = os.path.join(stream_dir, "ref_dec.reads")
+        t0 = time.time()
+        subprocess.run(
+            [binary, stream_dir, result, "f", "f", str(threads)],
+            check=True, capture_output=True, timeout=3600)
+        wall = time.time() - t0
+        return round(wall, 2)
+    except Exception:
+        return None
 
 
 def main():
