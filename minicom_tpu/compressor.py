@@ -171,15 +171,17 @@ def decompress(archive_path: str, out_path: str,
                out_path2: str | None = None,
                stats: StageStats | None = None) -> dict:
     stats = stats or StageStats()
-    with stats.stage("read_container"):
+    with stats.stage("read_container"):   # archive read + entropy decode
         meta, streams = container.read_container(archive_path)
     with stats.stage("decode"):
         if meta["pe"]:
             f1, f2 = decode_mod.assemble_pe(meta, streams)
-            fastq.write_reads(out_path, f1)
-            fastq.write_reads(out_path2 or out_path + ".2", f2)
         elif meta["order"]:
-            fastq.write_reads(out_path, decode_mod.assemble_order(meta, streams))
+            f1, f2 = decode_mod.assemble_order(meta, streams), None
         else:
-            fastq.write_reads(out_path, decode_mod.assemble_unordered(meta, streams))
+            f1, f2 = decode_mod.assemble_unordered(meta, streams), None
+    with stats.stage("write"):
+        fastq.write_reads(out_path, f1)
+        if f2 is not None:
+            fastq.write_reads(out_path2 or out_path + ".2", f2)
     return stats.summary()

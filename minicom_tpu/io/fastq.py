@@ -173,13 +173,18 @@ def _read_fastq_codes_sharded(path: str) -> np.ndarray:
 
 
 def write_reads(path: str, ascii_mat: np.ndarray) -> None:
-    """Write a [N, L] uint8 ASCII matrix as newline-terminated sequence lines."""
+    """Write a [N, L] uint8 ASCII matrix as newline-terminated sequence
+    lines, in bounded row chunks (a whole-matrix (L+1) copy would add a full
+    extra dataset of peak RSS at the 5M-read scale)."""
     n, L = ascii_mat.shape
-    out = np.empty((n, L + 1), dtype=np.uint8)
-    out[:, :L] = ascii_mat
-    out[:, L] = ord("\n")
+    CH = 1 << 21
     with open(path, "wb") as f:
-        f.write(out.tobytes())
+        for s in range(0, n, CH):
+            t = min(s + CH, n)
+            out = np.empty((t - s, L + 1), dtype=np.uint8)
+            out[:, :L] = ascii_mat[s:t]
+            out[:, L] = ord("\n")
+            f.write(out.tobytes())
 
 
 def reads_to_lines(codes: np.ndarray) -> bytes:

@@ -115,6 +115,19 @@ def _load():
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.popcounts_at.restype = None
+        lib.popcounts_at.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_void_p, ctypes.c_void_p]
+        lib.probe_index_pairs.restype = ctypes.c_int64
+        lib.probe_index_pairs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
         lib.consensus_host.restype = None
         lib.consensus_host.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_void_p,
@@ -416,6 +429,58 @@ def sketch_windowed_host(ref_flat: np.ndarray, starts: np.ndarray,
             n_rows, int(k), we_row.ctypes.data, mcap_row.ctypes.data,
             int(m_max), key.ctypes.data, meta.ctypes.data, nv.ctypes.data)
     return key, meta, nv
+
+
+def popcounts_at(codes: np.ndarray, rids: np.ndarray):
+    """(pop_vs_allA, pop_vs_allT) int32 2-bit XOR popcounts of the rows
+    codes[rids] (sketch.cpp popcounts_at), or None if native unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    codes = _as_c(codes)
+    rids = np.ascontiguousarray(rids, np.int64)
+    n = len(rids)
+    pa = np.empty(n, np.int32)
+    pt = np.empty(n, np.int32)
+    if n:
+        lib.popcounts_at(codes.ctypes.data, codes.shape[1], rids.ctypes.data,
+                         n, pa.ctypes.data, pt.ctypes.data)
+    return pa, pt
+
+
+def probe_index_pairs(ikey, icid, ipos, istrand, pkey, pcid, ppos, pstrand,
+                      cap: int):
+    """Merge candidate join (sketch.cpp probe_index_pairs): probes walk the
+    per-key index buckets (array order, first `cap` per probe), emitting
+    (a, b, shift) for different-contig same-strand hits. Returns
+    (a, b, d, drops) or None if native unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    ikey = np.ascontiguousarray(ikey, np.uint32)
+    icid = np.ascontiguousarray(icid, np.int64)
+    ipos = np.ascontiguousarray(ipos, np.int32)
+    istrand = np.ascontiguousarray(istrand, np.int8)
+    pkey = np.ascontiguousarray(pkey, np.uint32)
+    pcid = np.ascontiguousarray(pcid, np.int64)
+    ppos = np.ascontiguousarray(ppos, np.int32)
+    pstrand = np.ascontiguousarray(pstrand, np.int8)
+    drops = np.zeros(1, np.int64)
+    out_cap = max(1 << 16, len(pkey) * 2)
+    while True:
+        a = np.empty(out_cap, np.int64)
+        b = np.empty(out_cap, np.int64)
+        d = np.empty(out_cap, np.int64)
+        n = lib.probe_index_pairs(
+            ikey.ctypes.data, icid.ctypes.data, ipos.ctypes.data,
+            istrand.ctypes.data, len(ikey),
+            pkey.ctypes.data, pcid.ctypes.data, ppos.ctypes.data,
+            pstrand.ctypes.data, len(pkey),
+            int(cap), drops.ctypes.data,
+            a.ctypes.data, b.ctypes.data, d.ctypes.data, out_cap)
+        if n >= 0:
+            return a[:n], b[:n], d[:n], int(drops[0])
+        out_cap = -n
 
 
 def set_threads(n: int) -> None:

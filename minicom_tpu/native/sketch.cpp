@@ -166,4 +166,93 @@ void sketch_windowed_host(
     }
 }
 
+// Per-read 2-bit XOR popcounts vs the all-A (0b00) and all-T (0b11)
+// constants, straight off the code matrix — the realign ladder's absorption
+// prefilter (bbhashdict.c:127-227 semantics: bit-popcount of the packed
+// read / its complement). One pass, no packing or gather intermediates.
+void popcounts_at(const uint8_t* codes, int64_t L, const int64_t* rids,
+                  int64_t n, int32_t* pop_a, int32_t* pop_t) {
+    static const int32_t BITS[4] = {0, 1, 1, 2};
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* row = codes + rids[i] * L;
+        int32_t a = 0, t = 0;
+        for (int64_t j = 0; j < L; ++j) {
+            a += BITS[row[j]];
+            t += BITS[row[j] ^ 3];
+        }
+        pop_a[i] = a;
+        pop_t[i] = t;
+    }
+}
+
+// Merge-stage candidate join (the host twin of pipeline/merge.py::
+// _candidate_pairs' searchsorted probe): index entries bucketed by key in
+// array order (== stable-sorted equal-key runs), every probe walks its
+// bucket's first `cap` entries (drop count returned), pairs emitted when the
+// contigs differ and the strands match. Pair ORDER is irrelevant downstream
+// (_dedupe_pairs lexsorts), only the SET with caps applied must match the
+// numpy path — which the insertion-order buckets guarantee.
+//
+// Returns pairs written, or -(needed) if out_cap was too small.
+int64_t probe_index_pairs(
+    const uint32_t* ikey, const int64_t* icid, const int32_t* ipos,
+    const int8_t* istrand, int64_t n_index,
+    const uint32_t* pkey, const int64_t* pcid, const int32_t* ppos,
+    const int8_t* pstrand, int64_t n_probe,
+    int32_t cap, int64_t* drops,
+    int64_t* out_a, int64_t* out_b, int64_t* out_d, int64_t out_cap) {
+
+    // open addressing: key -> head index into a chained entry list that
+    // preserves index-array order per key
+    size_t hcap = 16;
+    while (hcap < (size_t)n_index * 2 + 16) hcap <<= 1;
+    const uint64_t hmask = hcap - 1;
+    std::vector<int64_t> head(hcap, -1), tail(hcap, -1);
+    std::vector<int64_t> nxt((size_t)n_index, -1);
+    std::vector<uint32_t> hkey(hcap, 0);
+    auto mixk = [](uint32_t k) {
+        uint64_t x = (uint64_t)k * 0x9E3779B97F4A7C15ULL;
+        return x ^ (x >> 29);
+    };
+    for (int64_t i = 0; i < n_index; ++i) {
+        uint64_t h = mixk(ikey[i]) & hmask;
+        while (head[h] != -1 && hkey[h] != ikey[i]) h = (h + 1) & hmask;
+        if (head[h] == -1) {
+            hkey[h] = ikey[i];
+            head[h] = tail[h] = i;
+        } else {
+            nxt[(size_t)tail[h]] = i;
+            tail[h] = i;
+        }
+    }
+
+    int64_t n_out = 0, dropped = 0;
+    for (int64_t p = 0; p < n_probe; ++p) {
+        uint64_t h = mixk(pkey[p]) & hmask;
+        while (head[h] != -1 && hkey[h] != pkey[p]) h = (h + 1) & hmask;
+        int64_t e = head[h];
+        if (e == -1) continue;
+        int32_t walked = 0;
+        for (; e != -1; e = nxt[(size_t)e]) {
+            if (walked >= cap) {  // count the rest as drops
+                for (; e != -1; e = nxt[(size_t)e]) ++dropped;
+                break;
+            }
+            ++walked;
+            if (pcid[p] == icid[e] || pstrand[p] != istrand[e]) continue;
+            if (n_out < out_cap) {
+                out_a[n_out] = pcid[p];
+                out_b[n_out] = icid[e];
+                out_d[n_out] = (int64_t)ppos[p] - ipos[e];
+            }
+            ++n_out;
+        }
+    }
+    *drops = dropped;
+    return n_out <= out_cap ? n_out : -n_out;
+}
+
 }  // extern "C"

@@ -77,27 +77,34 @@ def _const_reads(char: bytes, n: int, L: int) -> np.ndarray:
     return np.full((n, L), char[0], np.uint8)
 
 
-def decode_streams(meta: dict, streams: dict) -> dict:
-    """Decode every stream -> dict of [*, L] uint8 ASCII blocks keyed by class."""
+def _iter_class_blocks(meta: dict, streams: dict):
+    """Yield (class_key, [*, L] uint8 ASCII block) in canonical emission
+    order, one at a time — callers place each block into the output and drop
+    it before the next is built, so peak memory stays ~1 block + output
+    instead of every class at once (the r03 ORDER-decode RSS blowup,
+    decode.c analogue: decompress.c writes streams incrementally)."""
     L = meta["readlen"]
-    out = {}
-    out["alla"] = _const_reads(b"A", meta["n_alla"], L)
-    out["allt"] = _const_reads(b"T", meta["n_allt"], L)
-    out["alln"] = _const_reads(b"N", meta["n_alln"], L)
-    out["aa"] = diff_decode(streams["aa"], _const_reads(b"A", meta["n_aa"], L),
-                            meta["n_aa"])
-    out["tt"] = diff_decode(streams["tt"], _const_reads(b"T", meta["n_tt"], L),
-                            meta["n_tt"])
-    out["nn"] = diff_decode(streams["nn"], _const_reads(b"N", meta["n_nn"], L),
-                            meta["n_nn"])
+    yield "alla", _const_reads(b"A", meta["n_alla"], L)
+    yield "allt", _const_reads(b"T", meta["n_allt"], L)
+    yield "alln", _const_reads(b"N", meta["n_alln"], L)
+    yield "aa", diff_decode(streams["aa"],
+                            _const_reads(b"A", meta["n_aa"], L), meta["n_aa"])
+    yield "tt", diff_decode(streams["tt"],
+                            _const_reads(b"T", meta["n_tt"], L), meta["n_tt"])
+    yield "nn", diff_decode(streams["nn"],
+                            _const_reads(b"N", meta["n_nn"], L), meta["n_nn"])
     ns = np.frombuffer(streams["nsingle"], np.uint8)
-    out["nsingle"] = (ns.reshape(meta["n_nsingle"], L + 1)[:, :L]
+    yield "nsingle", (ns.reshape(meta["n_nsingle"], L + 1)[:, :L]
                       if meta["n_nsingle"] else np.zeros((0, L), np.uint8))
     sg = unpack_2bit(np.frombuffer(streams["single"], np.uint8),
                      meta["n_single"] * L)
-    out["single"] = codes_to_ascii(sg.reshape(meta["n_single"], L))
-    out["clusters"] = _unpack_cluster_reads(meta, streams)
-    return out
+    yield "single", codes_to_ascii(sg.reshape(meta["n_single"], L))
+    yield "clusters", _unpack_cluster_reads(meta, streams)
+
+
+def decode_streams(meta: dict, streams: dict) -> dict:
+    """Decode every stream -> dict of [*, L] uint8 ASCII blocks keyed by class."""
+    return dict(_iter_class_blocks(meta, streams))
 
 
 _CLASS_ORDER = ["alla", "allt", "alln", "aa", "tt", "nn", "nsingle", "single",
@@ -105,8 +112,13 @@ _CLASS_ORDER = ["alla", "allt", "alln", "aa", "tt", "nn", "nsingle", "single",
 
 
 def assemble_unordered(meta: dict, streams: dict) -> np.ndarray:
-    blocks = decode_streams(meta, streams)
-    return np.concatenate([blocks[k] for k in _CLASS_ORDER], axis=0)
+    out = np.empty((meta["n_seq"], meta["readlen"]), np.uint8)
+    pos = 0
+    for _, blk in _iter_class_blocks(meta, streams):
+        out[pos:pos + len(blk)] = blk
+        pos += len(blk)
+    assert pos == meta["n_seq"], "class blocks do not partition the read set"
+    return out
 
 
 def _class_ids(meta: dict, streams: dict) -> dict:
@@ -145,28 +157,43 @@ def _cluster_ids(meta: dict, streams: dict) -> np.ndarray:
 
 
 def assemble_order(meta: dict, streams: dict) -> np.ndarray:
-    blocks = decode_streams(meta, streams)
+    """Every read placed at its original index via the id streams. Class
+    blocks are decoded, scattered into the output and freed ONE AT A TIME —
+    the id lists partition [0, n_seq), so the output is written exactly
+    once and peak RSS is output + one block (not output + all blocks)."""
     ids = _class_ids(meta, streams)
     L = meta["readlen"]
-    out = np.zeros((meta["n_seq"], L), np.uint8)
-    for key in _CLASS_ORDER[:-1]:
-        if len(blocks[key]):
-            out[ids[key]] = blocks[key]
-    cids = _cluster_ids(meta, streams)
-    if len(cids):
-        out[cids] = blocks["clusters"]
+    out = np.empty((meta["n_seq"], L), np.uint8)
+    placed = 0
+    for key, blk in _iter_class_blocks(meta, streams):
+        tgt = _cluster_ids(meta, streams) if key == "clusters" else ids[key]
+        if len(blk):
+            out[tgt] = blk
+        placed += len(blk)
+    assert placed == meta["n_seq"], "id streams do not partition the read set"
     return out
 
 
 def assemble_pe(meta: dict, streams: dict) -> tuple[np.ndarray, np.ndarray]:
-    blocks = decode_streams(meta, streams)
-    emitted = np.concatenate([blocks[k] for k in _CLASS_ORDER], axis=0)
-    n_emit = emitted.shape[0]
+    """File bit 0 -> append to mate-1 output in emission order; bit 1 ->
+    place at slot peid of the mate-2 output. Streaming per class block (one
+    block live at a time), tracking the running emission ordinal."""
+    n_emit = meta["n_seq"]
     fbits = unpack_bits(np.frombuffer(streams["fbits"], np.uint8), n_emit)
     peids = np.frombuffer(streams["peids"], np.uint32).astype(np.int64)
     L = meta["readlen"]
     half = meta["half"]
-    file1 = emitted[fbits == 0]
-    file2 = np.zeros((half, L), np.uint8)
-    file2[peids] = emitted[fbits == 1]
+    file1 = np.empty((half, L), np.uint8)
+    file2 = np.empty((half, L), np.uint8)
+    pos = n1 = n2 = 0
+    for _, blk in _iter_class_blocks(meta, streams):
+        seg = fbits[pos:pos + len(blk)] == 1
+        m1 = blk[~seg]
+        file1[n1:n1 + len(m1)] = m1
+        file2[peids[n2:n2 + int(seg.sum())]] = blk[seg]
+        n1 += len(m1)
+        n2 += int(seg.sum())
+        pos += len(blk)
+    assert pos == n_emit and n1 == half and n2 == half, \
+        "PE streams do not pair up"
     return file1, file2

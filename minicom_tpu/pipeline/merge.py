@@ -337,6 +337,15 @@ def _candidate_pairs(key, cid, pos, strand, rank, m, stats=None,
         z = (np.zeros(0, np.int64),) * 3
         if len(ik) == 0 or len(pk) == 0:
             return z
+        from minicom_tpu import native
+        nat = native.probe_index_pairs(ik, ic, ip, iz, pk, pc, pp, pz,
+                                       probe_cap)
+        if nat is not None:
+            a, b, d, dropped = nat
+            if stats is not None:
+                stats["merge_probe_drops"] = (
+                    stats.get("merge_probe_drops", 0) + dropped)
+            return a, b, d
         srt = np.argsort(ik, kind="stable")
         ik, ic, ip, iz = ik[srt], ic[srt], ip[srt], iz[srt]
         lo = np.searchsorted(ik, pk, side="left")

@@ -99,10 +99,15 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
         # --- near-allA/allT absorption at this threshold ------------------
         with _sub(stats, "realign_absorb"):
             if pop_a is None:
-                sgc0 = codes_sub[sg]
-                pop_a = popcount_u32(pack_2bit_words(sgc0)).sum(axis=1)
-                pop_t = popcount_u32(pack_2bit_words(3 - sgc0)).sum(axis=1)
-                del sgc0
+                from minicom_tpu import native
+                pops = native.popcounts_at(codes_sub, sg)
+                if pops is not None:
+                    pop_a, pop_t = pops
+                else:
+                    sgc0 = codes_sub[sg]
+                    pop_a = popcount_u32(pack_2bit_words(sgc0)).sum(axis=1)
+                    pop_t = popcount_u32(pack_2bit_words(3 - sgc0)).sum(axis=1)
+                    del sgc0
             cand_a = pop_a <= thr
             cand_t = ~cand_a & (pop_t <= thr)
             # the encode-cost check is also rung-invariant, so only reads

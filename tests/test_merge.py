@@ -159,6 +159,37 @@ def test_revote_consensus_is_member_majority_vote(rng):
         np.testing.assert_array_equal(got, want)
 
 
+def test_native_probe_pairs_match_numpy(rng):
+    """The native candidate join (sketch.cpp probe_index_pairs) and the numpy
+    searchsorted probe select the same deduped (a, b, shift) set, including
+    the per-probe hit cap and the drop count."""
+    from minicom_tpu import native
+    from minicom_tpu.pipeline import merge as mg
+    if not native.has_native():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    n = 4000
+    key = rng.integers(0, 300, n).astype(np.uint32)   # dense keys -> big runs
+    cid = rng.integers(0, 60, n).astype(np.int64)
+    pos = rng.integers(0, 500, n).astype(np.int32)
+    strand = rng.integers(0, 2, n).astype(np.int8)
+    rank = rng.integers(0, 30, n).astype(np.int32)
+    for cap in (3, 64):
+        stats_np, stats_nat = {}, {}
+        import unittest.mock as mock
+        with mock.patch.object(native, "probe_index_pairs",
+                               lambda *a, **k: None):  # force numpy fallback
+            a1, b1, d1 = mg._candidate_pairs(key, cid, pos, strand, rank, 6,
+                                             stats_np, None, cap)
+        a2, b2, d2 = mg._candidate_pairs(key, cid, pos, strand, rank, 6,
+                                         stats_nat, None, cap)
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(b1, b2)
+        np.testing.assert_array_equal(d1, d2)
+        assert (stats_np.get("merge_probe_drops", 0)
+                == stats_nat.get("merge_probe_drops", 0))
+
+
 def test_host_sketch_archive_identical(tmp_path, rng, monkeypatch):
     """The native host contig sketch (single-chip fast path) and the device
     sketch path produce byte-identical archives — which path ran is never
