@@ -107,10 +107,11 @@ def main():
     summary = compressor.compress(fq, arc)
     warm_s = time.time() - t0
     device_s = mesh.device_seconds()
+    device_bytes = mesh.device_bytes()
     mtc_bytes = os.path.getsize(arc)
 
     t0 = time.time()
-    compressor.decompress(arc, dec)
+    dec_summary = compressor.decompress(arc, dec)
     dec_s = time.time() - t0
 
     # roundtrip check + xz baseline in a child process (both allocate far
@@ -160,8 +161,13 @@ def main():
         "n_reads": n_reads,
         "peak_rss_bytes_per_base": round(peak_rss / (seq_bytes - n_reads), 2),
         # wall time the host spent blocked on device transfers/compute during
-        # the warm encode — the measured TPU share of the single-chip path
+        # the warm encode — the measured TPU share of the single-chip path —
+        # plus the bytes that crossed the host<->device link, so the tunnel-
+        # transfer share of that blocked time is attributable (the tunnel
+        # moves ~60 MB/s; device_transfer_bytes/60e6 estimates its share)
         "device_time_fraction": round(device_s / warm_s, 4),
+        "device_blocked_s": round(device_s, 3),
+        "device_transfer_bytes": device_bytes,
         "stage_s": {k: round(v, 3) for k, v in summary["timings_s"].items()},
         # sub-stage wall splits inside merge/realign (the r03 dominators) —
         # the evidence layer for where encode time actually goes
@@ -169,6 +175,11 @@ def main():
                         if k.endswith("_s") and isinstance(v, float)},
         "merge_probe_drops": summary.get("merge_probe_drops", 0),
         "merge_rank_saturated": summary.get("merge_rank_saturated", 0),
+        "decode_stage_s": {
+            **{k: round(v, 3)
+               for k, v in dec_summary["timings_s"].items()},
+            **{k: v for k, v in dec_summary.items()
+               if k.endswith("_s") and isinstance(v, float)}},
         **ref,
     }
     print(json.dumps(result))

@@ -102,12 +102,15 @@ def _compress(reads_path, out_path, cfg, reads_path2, stats) -> dict:
             merge_mod.start_sketch_warmup(rcfg.k, rcfg.contig_window,
                                           rcfg.merge_rank_cap)
     if rank < 1:
-        # upload the (N-substituted) read store to device ONCE; all cluster
-        # rounds gather from it by rid (13 B/member host->device instead of
-        # L+13 — the scarce resource through a tunneled chip), row-padded to
-        # a pow2 tier so XLA program shapes are dataset-size independent
-        from minicom_tpu.parallel.mesh import upload_read_store
-        codes_dev = upload_read_store(cls.codes_sub)
+        # device-mesh runs upload the (N-substituted) read store ONCE; all
+        # cluster rounds gather from it by rid (13 B/member host->device
+        # instead of L+13 — the scarce resource through a tunneled chip),
+        # row-padded to a pow2 tier so XLA program shapes are dataset-size
+        # independent. Single-chip runs use the native host kernels
+        # throughout and skip the upload entirely (~630 MB at 5M reads).
+        if not merge_mod.use_host_sketch():
+            from minicom_tpu.parallel.mesh import upload_read_store
+            codes_dev = upload_read_store(cls.codes_sub)
         with stats.stage("cluster"):
             cset, sg = cluster_mod.cluster_rounds(cls.codes_sub, cls.pool,
                                                   rcfg, codes_dev)
@@ -179,7 +182,8 @@ def decompress(archive_path: str, out_path: str,
         elif meta["order"]:
             f1, f2 = decode_mod.assemble_order(meta, streams), None
         else:
-            f1, f2 = decode_mod.assemble_unordered(meta, streams), None
+            f1 = decode_mod.assemble_unordered(meta, streams, stats.counters)
+            f2 = None
     with stats.stage("write"):
         fastq.write_reads(out_path, f1)
         if f2 is not None:

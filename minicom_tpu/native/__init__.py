@@ -115,6 +115,11 @@ def _load():
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.sketch_reads_host.restype = None
+        lib.sketch_reads_host.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.popcounts_at.restype = None
         lib.popcounts_at.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_void_p, ctypes.c_int64,
@@ -429,6 +434,29 @@ def sketch_windowed_host(ref_flat: np.ndarray, starts: np.ndarray,
             n_rows, int(k), we_row.ctypes.data, mcap_row.ctypes.data,
             int(m_max), key.ctypes.data, meta.ctypes.data, nv.ctypes.data)
     return key, meta, nv
+
+
+def sketch_reads_host(codes: np.ndarray, rids: np.ndarray, k: int):
+    """Whole-read canonical minimizer of codes[rids] on the host
+    (sketch.cpp sketch_reads_host — bit-identical to the device
+    sketch_reads_dyn path). Returns (kmer_hi u32, kmer_lo u32,
+    end_pos i32, strand i8) or None if native unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    codes = _as_c(codes)
+    rids = np.ascontiguousarray(rids, np.int64)
+    n = len(rids)
+    hi = np.empty(n, np.uint32)
+    lo = np.empty(n, np.uint32)
+    pos = np.empty(n, np.int32)
+    strand = np.empty(n, np.int8)
+    if n:
+        lib.sketch_reads_host(codes.ctypes.data, codes.shape[1],
+                              rids.ctypes.data, n, int(k), hi.ctypes.data,
+                              lo.ctypes.data, pos.ctypes.data,
+                              strand.ctypes.data)
+    return hi, lo, pos, strand
 
 
 def popcounts_at(codes: np.ndarray, rids: np.ndarray):

@@ -166,6 +166,53 @@ void sketch_windowed_host(
     }
 }
 
+// Whole-read canonical minimizer — host twin of
+// ops/sketch.py::sketch_reads_dyn (mm_sketch_two semantics,
+// sketch.c:238-289): one (kmer_hi, kmer_lo, end_pos, strand) record per
+// read, minimum of the 32-bit ranking hash over all valid (non-palindromic)
+// k-mer end positions, FIRST position winning ties (strict-< update). A
+// read with no valid k-mer gets the canonical empty record (0, 0, 0, 0)
+// with hash U32_MAX — matching the device path bit-for-bit so the cluster
+// stage can route through either without changing the archive.
+void sketch_reads_host(const uint8_t* codes, int64_t L,
+                       const int64_t* rids, int64_t n, int32_t k,
+                       uint32_t* out_hi, uint32_t* out_lo,
+                       int32_t* out_pos, int8_t* out_strand) {
+    const uint64_t kmask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* seq = codes + rids[i] * L;
+        uint64_t fwd = 0, rc = 0;
+        uint32_t best = U32_MAX;
+        uint64_t best_k = 0;
+        int32_t best_pos = 0;
+        int8_t best_z = 0;
+        for (int64_t j = 0; j < L; ++j) {
+            const uint64_t nb = seq[j];
+            fwd = ((fwd << 2) | nb) & kmask;
+            if (j) rc >>= 2;
+            rc |= (nb ^ 3ULL) << (2 * (k - 1));
+            if (j + 1 < k || fwd == rc) continue;
+            const int z = fwd < rc ? 0 : 1;
+            const uint64_t canon = z ? rc : fwd;
+            const uint32_t h = mix32((uint32_t)(canon >> 32),
+                                     (uint32_t)canon);
+            if (h < best) {
+                best = h;
+                best_k = canon;
+                best_pos = (int32_t)j;
+                best_z = (int8_t)z;
+            }
+        }
+        out_hi[i] = best == U32_MAX ? 0 : (uint32_t)(best_k >> 32);
+        out_lo[i] = best == U32_MAX ? 0 : (uint32_t)best_k;
+        out_pos[i] = best == U32_MAX ? 0 : best_pos;
+        out_strand[i] = best == U32_MAX ? 0 : best_z;
+    }
+}
+
 // Per-read 2-bit XOR popcounts vs the all-A (0b00) and all-T (0b11)
 // constants, straight off the code matrix — the realign ladder's absorption
 // prefilter (bbhashdict.c:127-227 semantics: bit-popcount of the packed

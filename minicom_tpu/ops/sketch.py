@@ -181,8 +181,17 @@ def _sketch_dyn_body(codes: jnp.ndarray, k, k_max: int):
     valid = ~palindrome & (pos_i + 1 >= k)
     h = jnp.where(valid, h, U32_MAX)
     s = jnp.argmin(h, axis=1)
-    return (_take1(h, s), _take1(hi, s), _take1(lo, s),
-            s.astype(jnp.int32), _take1(strand, s))
+    # a read with NO valid k-mer (every k-mer palindromic — possible only at
+    # even k) gets the canonical empty record (U32_MAX, 0, 0, 0, 0) instead
+    # of whatever padded partial k-mer argmin landed on: well-defined, and
+    # exactly reproducible by the native host twin (sketch.cpp)
+    hm = _take1(h, s)
+    bad = hm == U32_MAX
+    z32 = jnp.zeros_like(hm)
+    return (hm, jnp.where(bad, z32, _take1(hi, s)),
+            jnp.where(bad, z32, _take1(lo, s)),
+            jnp.where(bad, 0, s).astype(jnp.int32),
+            jnp.where(bad, 0, _take1(strand, s)).astype(jnp.int8))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -192,12 +201,18 @@ def sketch_reads(codes: jnp.ndarray, k: int):
     codes: [N, L] uint8 with no ambiguity codes (N already substituted,
     kthread_reads.c:182-205). Returns (h32 [N] u32, kmer_hi [N] u32,
     kmer_lo [N] u32, end_pos [N] int32, strand [N] int8). First position wins
-    hash ties (the reference's strict-< update).
+    hash ties (the reference's strict-< update). A read with no valid k-mer
+    gets the canonical empty record (U32_MAX, 0, 0, 0, 0).
     """
     h, hi, lo, strand, _valid = _kmer_pairs(codes, k)
     s = jnp.argmin(h, axis=1)
-    return (_take1(h, s), _take1(hi, s), _take1(lo, s),
-            (s + k - 1).astype(jnp.int32), _take1(strand, s))
+    hm = _take1(h, s)
+    bad = hm == U32_MAX
+    z32 = jnp.zeros_like(hm)
+    return (hm, jnp.where(bad, z32, _take1(hi, s)),
+            jnp.where(bad, z32, _take1(lo, s)),
+            jnp.where(bad, 0, s + k - 1).astype(jnp.int32),
+            jnp.where(bad, 0, _take1(strand, s)).astype(jnp.int8))
 
 
 def _sliding_reduce(x: jnp.ndarray, w: int, op) -> jnp.ndarray:

@@ -9,18 +9,28 @@ results with ordered all-gathers, so the archive is byte-identical for ANY
 process count (tests/test_distributed.py) — where the reference bakes its
 thread count into the format and its cluster composition into the schedule.
 
-Sharding model (v1):
-* every process parses the input and runs the identical deterministic host
-  orchestration (cheap); the O(N*L) device/native stages are partitioned into
-  CONTIGUOUS, canonically-ordered work ranges:
+Sharding model (r04 — every heavy stage sharded; only input PARSING may
+still replicate, and plain files byte-range-shard even that, io/fastq.py):
+* the O(N*L) and O(N log N) stages are partitioned into CONTIGUOUS,
+  canonically-ordered work ranges:
+    - FASTQ parse: byte-range slices (plain files),
     - read sketching: contiguous slices of the pending pool,
+    - cluster-round lexsort: hash-VALUE ranges (equal keys never straddle
+      ranks, so rank-order concatenation IS the global sort),
     - segmented consensus: contiguous cluster ranges (disjoint column spaces,
       so no cross-process reduction is needed),
     - contig sketching: contiguous length-bucketed batch ranges,
+    - merge candidate probes: contiguous probe ranges vs the small replicated
+      index; overlap scoring: contiguous pair ranges,
     - realignment probes: contiguous contig ranges (the substring-key
       dictionaries are built replicated — the all-gathered-dictionary pattern),
+    - serialization: member-sort sharded at cluster boundaries, diff text by
+      member chunks; entropy coding by stream ranges (io/container.py),
 * each exchange is an ordered ragged all-gather (rank-order concatenation
   reproduces the serial scan order exactly).
+Remaining replicated host work (measured in SCALING_r04.json): the cheap
+orchestration glue — segment detection, matching, CSR bookkeeping — all
+O(N) numpy passes with small constants.
 
 Collectives move only 32-bit-or-smaller payloads (device code is strictly
 32-bit — see ops/sketch.py); wider host dtypes travel as byte views.

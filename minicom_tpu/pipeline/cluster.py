@@ -233,14 +233,20 @@ def _consensus_chunk(L, base_all_lo, offsets, rids, dirs, span, codes_dev,
     return ref_flat, diffs
 
 
-def _sketch(pending: np.ndarray, codes_dev, k: int, L: int):
+def _sketch(pending: np.ndarray, codes_dev, k: int, L: int,
+            codes_host: np.ndarray | None = None):
     """Whole-read minimizer + mirrored (oriented end) position, round-k aware.
 
-    Reads are gathered on device from the resident store (4 bytes/read
-    uploaded). The grouping key is the exact canonical k-mer (uint64,
-    reassembled on the host from the device's uint32 pair) — an identical
+    The grouping key is the exact canonical k-mer (uint64) — an identical
     partition to the reference's invertible hash64 grouping, with zero
-    collision risk. The batch is pow2-padded and k is traced
+    collision risk.
+
+    Single-chip fast path (the consensus/merge-sketch pattern): without an
+    active device mesh the sketch runs in the native host kernel
+    (sketch.cpp, bit-identical outputs) — which also makes the 630 MB-at-5M
+    read-store upload unnecessary on this topology. Mesh/multichip runs keep
+    the device path: reads are gathered on device from the resident store
+    (4 bytes/read uploaded), the batch is pow2-padded, and k is traced
     (sketch_reads_dyn_gather) so ALL k-decreasing rounds share a handful of
     XLA compiles.
     """
@@ -248,26 +254,39 @@ def _sketch(pending: np.ndarray, codes_dev, k: int, L: int):
     lo, hi = dist.my_partition(np.ones(len(pending), np.int32))
     mine = pending[lo:hi]
     n = len(mine)
-    small, big = 1 << 13, 1 << 17  # two fixed batch shapes -> two compiles
-    step = small if n <= small else big
-    outs = []
-    for s in range(0, n, step):
-        t = min(s + step, n)
-        rid = np.zeros(step, np.int32)
-        rid[: t - s] = mine[s:t]
-        outs.append(sketch_reads_dyn_gather_packed(
-            codes_dev, shard_rows(jnp.asarray(rid)), k))
-    # one packed [3, step] u32 array per batch (per-array fetch latency is
-    # the tunnel's scarce resource; the h32 hash never leaves the device)
-    packs = fetch(outs)
-    parts = [(p[0, :min(s + step, n) - s], p[1, :min(s + step, n) - s],
-              (p[2, :min(s + step, n) - s] >> 1).astype(np.int32),
-              (p[2, :min(s + step, n) - s] & 1).astype(np.int8))
-             for s, p in zip(range(0, n, step), packs)]
-    z32, z8 = np.zeros(0, np.uint32), np.zeros(0, np.int8)
-    khi, klo, pos, strand = (
-        np.concatenate([p[i] for p in parts]) if parts else z
-        for i, z in ((0, z32), (1, z32), (2, z32.astype(np.int32)), (3, z8)))
+
+    host = None
+    from minicom_tpu.pipeline.merge import use_host_sketch
+    if codes_host is not None and use_host_sketch():
+        from minicom_tpu import native
+        host = native.sketch_reads_host(codes_host, mine, k)
+    if host is not None:
+        khi, klo, pos, strand = host
+    else:
+        if codes_dev is None:
+            from minicom_tpu.parallel.mesh import upload_read_store
+            codes_dev = upload_read_store(codes_host)
+        small, big = 1 << 13, 1 << 17  # two fixed batch shapes -> 2 compiles
+        step = small if n <= small else big
+        outs = []
+        for s in range(0, n, step):
+            t = min(s + step, n)
+            rid = np.zeros(step, np.int32)
+            rid[: t - s] = mine[s:t]
+            outs.append(sketch_reads_dyn_gather_packed(
+                codes_dev, shard_rows(jnp.asarray(rid)), k))
+        # one packed [3, step] u32 array per batch (per-array fetch latency
+        # is the tunnel's scarce resource; the h32 never leaves the device)
+        packs = fetch(outs)
+        parts = [(p[0, :min(s + step, n) - s], p[1, :min(s + step, n) - s],
+                  (p[2, :min(s + step, n) - s] >> 1).astype(np.int32),
+                  (p[2, :min(s + step, n) - s] & 1).astype(np.int8))
+                 for s, p in zip(range(0, n, step), packs)]
+        z32, z8 = np.zeros(0, np.uint32), np.zeros(0, np.int8)
+        khi, klo, pos, strand = (
+            np.concatenate([p[i] for p in parts]) if parts else z
+            for i, z in ((0, z32), (1, z32), (2, z32.astype(np.int32)),
+                         (3, z8)))
     khi, klo, pos, strand = dist.allgather_ragged_many(
         [khi, klo, pos, strand])
     key = (khi.astype(np.uint64) << np.uint64(32)) | klo.astype(np.uint64)
@@ -284,7 +303,10 @@ def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig,
     reads->sg, kthread_bucket.c:406-430).
     """
     L = codes_sub.shape[1]
-    if codes_dev is None:
+    # decide the sketch path once: host-native (no store upload needed at
+    # all on the single-chip topology) vs device-resident store
+    from minicom_tpu.pipeline.merge import use_host_sketch
+    if codes_dev is None and not use_host_sketch():
         from minicom_tpu.parallel.mesh import upload_read_store
         codes_dev = upload_read_store(codes_sub)
     K = cfg.k
@@ -306,7 +328,8 @@ def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig,
         is_last = last > 0
         k_next = K - rnd  # ejected reads re-sketch with this k
 
-        h, mpos, strand = _sketch(pending, codes_dev, k_round, L)
+        h, mpos, strand = _sketch(pending, codes_dev, k_round, L,
+                                  codes_host=codes_sub)
         cs, singles, ejected, nreads = _one_round(
             codes_dev, codes_sub, pending, h, mpos, strand,
             cfg.diff_threshold, L)
@@ -337,12 +360,38 @@ def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig,
     return ClusterSet.concat(results), np.concatenate(sg_parts)
 
 
+def _sharded_lexsort(h, mpos, rids):
+    """np.lexsort((rids, -mpos, h)) with the sort itself sharded by hash-value
+    range across processes (VERDICT r03 item 4: the round sort was fully
+    replicated). Ranges are half-open intervals of the h VALUE (equal keys
+    never straddle ranks), so the rank-order concatenation of per-range
+    lexsorts IS the global lexsort. Splitters come from a deterministic
+    sample, identical on every rank."""
+    pid, nproc = dist.process_grid()
+    neg = -mpos.astype(np.int64)
+    if nproc == 1:
+        return np.lexsort((rids, neg, h))
+    sample = np.sort(h[::max(1, len(h) // 65536)])
+    cuts = sample[(len(sample) * np.arange(1, nproc)) // nproc] \
+        if len(sample) else np.zeros(0, h.dtype)
+    lo = cuts[pid - 1] if pid else None
+    hi = cuts[pid] if pid < nproc - 1 else None
+    mask = np.ones(len(h), bool)
+    if lo is not None:
+        mask &= h >= lo
+    if hi is not None:
+        mask &= h < hi
+    idx = np.flatnonzero(mask)
+    mine = idx[np.lexsort((rids[idx], neg[idx], h[idx]))]
+    return dist.allgather_ragged(mine)
+
+
 def _one_round(codes_dev, codes_host, rids, h, mpos, strand, e, L):
     """One bucket round: sort -> segments -> consensus -> ejection.
 
     Returns (ClusterSet, singles, ejected, n_clustered_reads).
     """
-    order = np.lexsort((rids, -mpos.astype(np.int64), h))
+    order = _sharded_lexsort(h, mpos, rids)
     h, mpos, strand, rids = h[order], mpos[order], strand[order], rids[order]
     new_seg = np.ones(len(h), bool)
     new_seg[1:] = h[1:] != h[:-1]

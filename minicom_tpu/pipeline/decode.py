@@ -26,9 +26,16 @@ from minicom_tpu.ops.pack import (ascii_to_codes, codes_to_ascii, unpack_2bit,
 from minicom_tpu.pipeline.encode import DPOS_ESCAPE
 
 
-def _unpack_cluster_reads(meta: dict, streams: dict) -> np.ndarray:
+def _unpack_cluster_reads(meta: dict, streams: dict,
+                          stats: dict | None = None) -> np.ndarray:
     """Reconstruct all cluster member reads -> [M, L] uint8 ASCII rows, in
     canonical emission order."""
+    from minicom_tpu.pipeline.merge import _sub
+    with _sub(stats, "decode_clusters"):
+        return _unpack_cluster_reads_inner(meta, streams)
+
+
+def _unpack_cluster_reads_inner(meta: dict, streams: dict) -> np.ndarray:
     L = meta["readlen"]
     M = meta["n_members"]
     C = meta["n_clusters"]
@@ -77,7 +84,8 @@ def _const_reads(char: bytes, n: int, L: int) -> np.ndarray:
     return np.full((n, L), char[0], np.uint8)
 
 
-def _iter_class_blocks(meta: dict, streams: dict):
+def _iter_class_blocks(meta: dict, streams: dict,
+                       stats: dict | None = None):
     """Yield (class_key, [*, L] uint8 ASCII block) in canonical emission
     order, one at a time — callers place each block into the output and drop
     it before the next is built, so peak memory stays ~1 block + output
@@ -99,7 +107,7 @@ def _iter_class_blocks(meta: dict, streams: dict):
     sg = unpack_2bit(np.frombuffer(streams["single"], np.uint8),
                      meta["n_single"] * L)
     yield "single", codes_to_ascii(sg.reshape(meta["n_single"], L))
-    yield "clusters", _unpack_cluster_reads(meta, streams)
+    yield "clusters", _unpack_cluster_reads(meta, streams, stats)
 
 
 def decode_streams(meta: dict, streams: dict) -> dict:
@@ -111,10 +119,11 @@ _CLASS_ORDER = ["alla", "allt", "alln", "aa", "tt", "nn", "nsingle", "single",
                 "clusters"]
 
 
-def assemble_unordered(meta: dict, streams: dict) -> np.ndarray:
+def assemble_unordered(meta: dict, streams: dict,
+                       stats: dict | None = None) -> np.ndarray:
     out = np.empty((meta["n_seq"], meta["readlen"]), np.uint8)
     pos = 0
-    for _, blk in _iter_class_blocks(meta, streams):
+    for _, blk in _iter_class_blocks(meta, streams, stats):
         out[pos:pos + len(blk)] = blk
         pos += len(blk)
     assert pos == meta["n_seq"], "class blocks do not partition the read set"

@@ -105,11 +105,20 @@ def serialize(inp: EncodeInput) -> tuple[dict, dict]:
     dirs = cs.mem_dir[flat_idx]
     segc = np.repeat(np.arange(C), sizes[cl_order])
 
-    # in-cluster sort: (pos, dir, rid) or (pos, rid) for ORDER/PE
+    # in-cluster sort: (pos, dir, rid) or (pos, rid) for ORDER/PE.
+    # segc is nondecreasing by construction, so the sort shards cleanly into
+    # contiguous member ranges cut at cluster boundaries: each rank lexsorts
+    # its range and the rank-order concatenation IS the global lexsort
+    # (VERDICT r03 item 4 — serialization was fully replicated).
+    from minicom_tpu.parallel import distributed as dist
+    c0, c1 = dist.my_partition(sizes[cl_order])
+    m0, m1 = int(new_ptr[c0]), int(new_ptr[c1])
+    sl = slice(m0, m1)
     if inp.order or inp.paired:
-        order2 = np.lexsort((rid, off, segc))
+        sub = np.lexsort((rid[sl], off[sl], segc[sl]))
     else:
-        order2 = np.lexsort((rid, dirs, off, segc))
+        sub = np.lexsort((rid[sl], dirs[sl], off[sl], segc[sl]))
+    order2 = dist.allgather_ragged(sub + m0)
     rid, off, dirs = rid[order2], off[order2], dirs[order2]
 
     # ---- cluster streams -------------------------------------------------
@@ -147,9 +156,14 @@ def serialize(inp: EncodeInput) -> tuple[dict, dict]:
     if cs.n_members:
         base = ref_ptr_new[segc] + off
         parts = []
+        # member chunks partition into contiguous rank ranges; each rank
+        # encodes only its chunks and the blobs reassemble by ordered
+        # all-gather — the diff text is chunk-aligned so concatenation in
+        # rank order is byte-identical to the serial pass
+        d0, d1 = dist.my_partition(np.ones(cs.n_members, np.int32))
         CH = 1 << 20
-        for s in range(0, cs.n_members, CH):
-            t = min(s + CH, cs.n_members)
+        for s in range(d0, d1, CH):
+            t = min(s + CH, d1)
             restored = inp.codes_sub[rid[s:t]]
             nm = inp.n_mask[rid[s:t]]
             if nm.any():
@@ -164,7 +178,8 @@ def serialize(inp: EncodeInput) -> tuple[dict, dict]:
                 blob = diff_encode(codes_to_ascii(ref_cat[win_idx]),
                                    codes_to_ascii(oriented), 0)
             parts.append(blob)
-        streams["diff"] = b"".join(parts)
+        streams["diff"] = dist.allgather_ragged(
+            np.frombuffer(b"".join(parts), np.uint8)).tobytes()
     else:
         streams["diff"] = b""
 

@@ -337,36 +337,49 @@ def _candidate_pairs(key, cid, pos, strand, rank, m, stats=None,
         z = (np.zeros(0, np.int64),) * 3
         if len(ik) == 0 or len(pk) == 0:
             return z
+        # multi-process: contiguous PROBE ranges per rank against the full
+        # (small, replicated) index; pairs reassembled with an ordered
+        # all-gather — identical set, 1/P probe work per rank (VERDICT r03
+        # item 4: the candidate search was fully replicated)
+        r0, r1 = dist.my_partition(np.ones(len(pk), np.int32))
+        pk, pc, pp, pz = pk[r0:r1], pc[r0:r1], pp[r0:r1], pz[r0:r1]
         from minicom_tpu import native
         nat = native.probe_index_pairs(ik, ic, ip, iz, pk, pc, pp, pz,
                                        probe_cap)
         if nat is not None:
             a, b, d, dropped = nat
-            if stats is not None:
-                stats["merge_probe_drops"] = (
-                    stats.get("merge_probe_drops", 0) + dropped)
-            return a, b, d
-        srt = np.argsort(ik, kind="stable")
-        ik, ic, ip, iz = ik[srt], ic[srt], ip[srt], iz[srt]
-        lo = np.searchsorted(ik, pk, side="left")
-        hi = np.searchsorted(ik, pk, side="right")
-        cnt_all = hi - lo
-        cnt = np.minimum(cnt_all, probe_cap)
+        else:
+            srt = np.argsort(ik, kind="stable")
+            iks, ics, ips, izs = ik[srt], ic[srt], ip[srt], iz[srt]
+            lo = np.searchsorted(iks, pk, side="left")
+            hi = np.searchsorted(iks, pk, side="right")
+            cnt_all = hi - lo
+            cnt = np.minimum(cnt_all, probe_cap)
+            dropped = int((cnt_all - cnt).sum())
+            tot = int(cnt.sum())
+            if tot == 0:
+                a = b = d = np.zeros(0, np.int64)
+            else:
+                probe = np.repeat(np.arange(len(pk)), cnt)
+                hit = (np.repeat(lo, cnt)
+                       + (np.arange(tot)
+                          - np.repeat(np.cumsum(np.r_[0, cnt[:-1]]), cnt)))
+                ok = (pc[probe] != ics[hit]) & (pz[probe] == izs[hit])
+                # shift aligns b into a's coordinates: the shared k-mer sits
+                # at pos_a in a and pos_b in b, so b's column 0 lands at
+                # pos_a - pos_b
+                a = pc[probe[ok]]
+                b = ics[hit[ok]]
+                d = pp[probe[ok]].astype(np.int64) - ips[hit[ok]]
+        _, nproc = dist.process_grid()
+        if nproc > 1:
+            a, b, d, dr = dist.allgather_ragged_many(
+                [a, b, d, np.array([dropped], np.int64)])
+            dropped = int(dr.sum())
         if stats is not None:
-            stats["merge_probe_drops"] = stats.get("merge_probe_drops", 0) + \
-                int((cnt_all - cnt).sum())
-        tot = int(cnt.sum())
-        if tot == 0:
-            return z
-        probe = np.repeat(np.arange(len(pk)), cnt)
-        hit = (np.repeat(lo, cnt)
-               + (np.arange(tot)
-                  - np.repeat(np.cumsum(np.r_[0, cnt[:-1]]), cnt)))
-        ok = (pc[probe] != ic[hit]) & (pz[probe] == iz[hit])
-        # shift aligns b into a's coordinates: the shared k-mer sits at
-        # pos_a in a and pos_b in b, so b's column 0 lands at pos_a - pos_b
-        return (pc[probe[ok]], ic[hit[ok]],
-                pp[probe[ok]].astype(np.int64) - ip[hit[ok]])
+            stats["merge_probe_drops"] = (
+                stats.get("merge_probe_drops", 0) + dropped)
+        return a, b, d
 
     all_rows = np.ones(len(key), bool)
     if new_from is None:
@@ -396,31 +409,38 @@ def _score_pairs(cs: ClusterSet, a, b, d, cap: int):
     """match_pro (kthread_cb.c:36-52): mismatches over the full overlap of
     contig b shifted by d into contig a's coordinates. Returns int32 scores
     (cap+1 when the overlap is empty). Native OpenMP path with a vectorized
-    numpy fallback."""
+    numpy fallback.
+
+    Multi-process: the pair list is sharded into contiguous rank ranges
+    (weighted by overlap length) and the score vector reassembled with an
+    ordered all-gather — scoring work is 1/P per rank, result identical
+    (one of the r03 'replicated host stages', VERDICT item 4)."""
     from minicom_tpu import native
+    r0, r1 = dist.my_partition(
+        np.minimum(cs.ref_lengths()[a], cs.ref_lengths()[b]))
+    a, b, d = a[r0:r1], b[r0:r1], d[r0:r1]
     scores = native.score_overlaps(cs.ref_flat, cs.ref_ptr, a, b, d, cap)
-    if scores is not None:
-        return scores
-    lens = cs.ref_lengths()
-    la, lb = lens[a], lens[b]
-    lo = np.maximum(0, d)
-    hi = np.minimum(la, d + lb)
-    olen = hi - lo
-    scores = np.full(len(a), cap + 1, np.int32)
-    todo = np.flatnonzero(olen > 0)
-    CH = 4096
-    for s in range(0, len(todo), CH):
-        sel = todo[s:s + CH]
-        om = int(olen[sel].max())
-        ar = np.arange(om)
-        colA = lo[sel, None] + ar[None, :]
-        valid = ar[None, :] < olen[sel, None]
-        ia = cs.ref_ptr[a[sel], None] + colA
-        ib = cs.ref_ptr[b[sel], None] + colA - d[sel, None]
-        mism = (cs.ref_flat[np.where(valid, ia, 0)]
-                != cs.ref_flat[np.where(valid, ib, 0)]) & valid
-        scores[sel] = mism.sum(axis=1, dtype=np.int32)
-    return scores
+    if scores is None:
+        lens = cs.ref_lengths()
+        la, lb = lens[a], lens[b]
+        lo = np.maximum(0, d)
+        hi = np.minimum(la, d + lb)
+        olen = hi - lo
+        scores = np.full(len(a), cap + 1, np.int32)
+        todo = np.flatnonzero(olen > 0)
+        CH = 4096
+        for s in range(0, len(todo), CH):
+            sel = todo[s:s + CH]
+            om = int(olen[sel].max())
+            ar = np.arange(om)
+            colA = lo[sel, None] + ar[None, :]
+            valid = ar[None, :] < olen[sel, None]
+            ia = cs.ref_ptr[a[sel], None] + colA
+            ib = cs.ref_ptr[b[sel], None] + colA - d[sel, None]
+            mism = (cs.ref_flat[np.where(valid, ia, 0)]
+                    != cs.ref_flat[np.where(valid, ib, 0)]) & valid
+            scores[sel] = mism.sum(axis=1, dtype=np.int32)
+    return dist.allgather_ragged(scores)
 
 
 def merge_contigs(cset: ClusterSet, cfg: ResolvedConfig,

@@ -202,6 +202,27 @@ def test_native_windowed_matches_xla(rng):
         np.testing.assert_array_equal(xm[v], nm[v])
 
 
+def test_native_reads_sketch_matches_device(rng):
+    """The native whole-read minimizer (sketch.cpp sketch_reads_host — the
+    cluster stage's single-chip fast path) matches sketch_reads_dyn exactly,
+    including the canonical empty record for reads with no valid k-mer."""
+    from minicom_tpu import native
+    if not native.has_native():
+        pytest.skip("native toolchain unavailable")
+    for k in (4, 17, 30, 31):
+        codes = rng.integers(0, 4, size=(200, 64)).astype(np.uint8)
+        if k == 30:  # force some all-palindromic rows (even k)
+            codes[:5] = np.tile([0, 3], 32)[None, :]
+        h, hi, lo, pos, strand = (np.asarray(x) for x in
+                                  sk.sketch_reads_dyn(jnp.asarray(codes), k))
+        rids = np.arange(200, dtype=np.int64)
+        nhi, nlo, npos, nz = native.sketch_reads_host(codes, rids, k)
+        np.testing.assert_array_equal(hi, nhi)
+        np.testing.assert_array_equal(lo, nlo)
+        np.testing.assert_array_equal(pos, npos)
+        np.testing.assert_array_equal(strand, nz)
+
+
 def test_gather32_pallas_matches_xla(rng):
     """The 32-bit hashed-key compact kernels (merge's actual entry points,
     fed by the shared gather) produce identical buffers: Pallas interpret

@@ -95,3 +95,22 @@ def test_pallas_compiled_on_real_contigs():
     w = min(cfg.contig_window, Lmax - cfg.k + 1)
     a, b = _both_paths(ref_flat, starts, lens_pad, cfg.k, w, m, Lmax)
     _assert_valid_slots_equal(a, b, rows, m)
+
+
+@requires_tpu
+def test_verify_pallas_compiled_matches_host():
+    """Compiled popcount-verify kernels (XLA + Pallas) on hardware match the
+    host basediff popcount (ops/pallas_verify.py, SURVEY §7 step 7)."""
+    from minicom_tpu.ops.pack import pack_2bit_words, popcount_u32
+    from minicom_tpu.ops.pallas_verify import (popcount_verify,
+                                               popcount_verify_pallas)
+    rng = np.random.default_rng(9)
+    N, L = 1024, 100
+    aw = pack_2bit_words(rng.integers(0, 4, (N, L)).astype(np.uint8))
+    bw = pack_2bit_words(rng.integers(0, 4, (N, L)).astype(np.uint8))
+    want = popcount_u32(aw ^ bw).sum(axis=1).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(popcount_verify(jnp.asarray(aw), jnp.asarray(bw))), want)
+    np.testing.assert_array_equal(
+        np.asarray(popcount_verify_pallas(jnp.asarray(aw), jnp.asarray(bw),
+                                          block=256)), want)

@@ -1,7 +1,9 @@
 """Subprocess worker for tools/scaling.py: joins a jax.distributed process
 group on the CPU backend, compresses the given FASTQ, and prints one JSON
 line with its encode wall time (measured around compress() only, so process
-startup/import time does not pollute the scaling numbers)."""
+startup/import time does not pollute the scaling numbers) plus the per-stage
+and sub-stage splits — scaling.py uses them to attribute sharded vs
+replicated host seconds (VERDICT r03 item 4)."""
 
 import json
 import os
@@ -22,10 +24,16 @@ def main():
         distributed.initialize(coord, num_processes=int(nproc),
                                process_id=int(pid))
     from minicom_tpu import CompressorConfig, compressor
+    from minicom_tpu.stats import StageStats
     cfg = CompressorConfig(threads=int(threads))
+    st = StageStats()
     t0 = time.time()
-    compressor.compress(fq, out, cfg)
-    print(json.dumps({"pid": int(pid), "encode_s": round(time.time() - t0, 3)}))
+    compressor.compress(fq, out, cfg, stats=st)
+    print(json.dumps({
+        "pid": int(pid), "encode_s": round(time.time() - t0, 3),
+        "stage_s": {k: round(v, 3) for k, v in st.timings.items()},
+        "sub_stage_s": {k: v for k, v in st.counters.items()
+                        if k.endswith("_s") and isinstance(v, float)}}))
 
 
 if __name__ == "__main__":

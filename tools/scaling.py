@@ -53,6 +53,7 @@ def run_group(nproc: int, fq: str, outdir: str, threads: int) -> dict:
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE))
     encode_s = []
+    rank0 = {}
     for p in procs:
         stdout, stderr = p.communicate(timeout=7200)
         text = stdout.decode(errors="replace")
@@ -64,7 +65,10 @@ def run_group(nproc: int, fq: str, outdir: str, threads: int) -> dict:
         # to stdout after the worker's JSON (JAX teardown noise is common)
         for line in reversed(text.strip().splitlines()):
             try:
-                encode_s.append(json.loads(line)["encode_s"])
+                rec = json.loads(line)
+                encode_s.append(rec["encode_s"])
+                if rec.get("pid") == 0:
+                    rank0 = rec
                 break
             except (json.JSONDecodeError, KeyError):
                 continue
@@ -72,6 +76,8 @@ def run_group(nproc: int, fq: str, outdir: str, threads: int) -> dict:
             raise RuntimeError(f"no JSON result from rank:\n{text[-1500:]}")
     return {"nproc": nproc, "threads_per_rank": threads,
             "encode_s": max(encode_s), "wall_s": round(time.time() - t0, 3),
+            "stage_s": rank0.get("stage_s", {}),
+            "sub_stage_s": rank0.get("sub_stage_s", {}),
             "archive_bytes": os.path.getsize(out), "archive_path": out}
 
 
@@ -108,6 +114,16 @@ def main() -> None:
     for r in results:
         r["speedup_vs_1proc"] = round(t1 / r["encode_s"], 3)
         r["efficiency"] = round(t1 / r["encode_s"] / r["nproc"], 3)
+    # sharded-vs-replicated attribution (VERDICT r03 item 4): a stage whose
+    # per-rank seconds shrink ~1/P is sharded; one that stays flat is
+    # replicated glue. Report the per-stage 2-proc/1-proc ratio so the
+    # Amdahl ceiling is a measured number (on this few-core host the ratios
+    # are inflated by core contention — they bound the replicated share
+    # from above).
+    s1 = results[0].get("stage_s", {})
+    s2 = next((r.get("stage_s", {}) for r in results if r["nproc"] == 2), {})
+    stage_ratio = {k: round(s2[k] / s1[k], 3)
+                   for k in s1 if k in s2 and s1[k] > 0.05}
     out = {
         "n_reads": n_reads, "seq_bytes": seq_bytes,
         "host_cpu_count": ncpu,
@@ -115,6 +131,7 @@ def main() -> None:
                  f"{ncpu} cores, so efficiency is a lower bound vs real "
                  "multi-host"),
         "archive_bytes_identical_across_nproc": identical,
+        "stage_s_ratio_2proc_over_1proc": stage_ratio,
         "runs": results,
     }
     path = os.path.join(REPO, f"SCALING_r{round_no}.json")
