@@ -46,14 +46,38 @@ def _repeat_genome(rng, size: int) -> np.ndarray:
 
 def make_dataset(path: str, n_reads: int, L: int = 100,
                  coverage_genome: int = 0, err: float = 0.01,
-                 seed: int = 7) -> int:
+                 seed: int = 7, profile: str | None = None) -> int:
     """Genome-sampled reads at ~50x coverage (a fixed tiny genome would make
-    large n_reads trivially compressible and flatter the bench)."""
-    if not coverage_genome:
-        coverage_genome = max(400_000, n_reads * L // 50)
+    large n_reads trivially compressible and flatter the bench).
+
+    profile="hard" (or BENCH_PROFILE=hard) is the second distribution the
+    r03 verdict asked for: 150 bp reads, 2% substitution error, ~20x mean
+    coverage with a skewed (power-law) sampling density over the genome —
+    deep hotspots next to near-singleton deserts, the coverage shape real
+    resequencing runs have. Every ratio/speed claim can then be checked
+    against a generator the pipeline was not tuned on."""
+    if profile is None:
+        profile = os.environ.get("BENCH_PROFILE", "default")
     rng = np.random.default_rng(seed)
-    genome = _repeat_genome(rng, coverage_genome)
-    starts = rng.integers(0, coverage_genome - L, n_reads)
+    if profile == "hard":
+        L = 150
+        err = 0.02
+        if not coverage_genome:
+            coverage_genome = max(600_000, n_reads * L // 20)
+        genome = _repeat_genome(rng, coverage_genome)
+        # skewed sampling: position weights from a coarse power-law field
+        blocks = max(64, coverage_genome // 10_000)
+        w = rng.pareto(1.2, blocks) + 0.05
+        w /= w.sum()
+        blk = rng.choice(blocks, n_reads, p=w)
+        within = rng.integers(0, coverage_genome // blocks, n_reads)
+        starts = np.minimum(blk * (coverage_genome // blocks) + within,
+                            coverage_genome - L - 1)
+    else:
+        if not coverage_genome:
+            coverage_genome = max(400_000, n_reads * L // 50)
+        genome = _repeat_genome(rng, coverage_genome)
+        starts = rng.integers(0, coverage_genome - L, n_reads)
     reads = genome[starts[:, None] + np.arange(L)]
     em = rng.random((n_reads, L)) < err
     reads = np.where(em, (reads + rng.integers(1, 4, (n_reads, L))) % 4,
@@ -159,6 +183,7 @@ def main():
         "ratio": round(seq_bytes / mtc_bytes, 3),
         "roundtrip_exact": bool(roundtrip_ok),
         "n_reads": n_reads,
+        "profile": os.environ.get("BENCH_PROFILE", "default"),
         "peak_rss_bytes_per_base": round(peak_rss / (seq_bytes - n_reads), 2),
         # wall time the host spent blocked on device transfers/compute during
         # the warm encode — the measured TPU share of the single-chip path —

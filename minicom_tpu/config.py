@@ -57,7 +57,7 @@ class CompressorConfig:
     merge_probe_cap: int = 0
 
     # entropy backend: "auto" (best per stream) | "xz" | "o1rc" | "o2rc"
-    # | "dnarc" | "bz2" | "zlib" | "store"
+    # | "dnarc" | "trans" (on-chip rANS) | "bz2" | "zlib" | "store"
     codec: str = "auto"
 
     # stage checkpoint/resume directory (None = off). Reruns with the same

@@ -11,6 +11,9 @@ through a named backend:
             context (for the packed consensus / singleton streams: repeated
             genome regions across contigs predict the next base — the
             redundancy the reference outsources to bsc's BWT),
+* "trans" — ON-CHIP interleaved rANS (entropy/device_rans.py): order-0
+            static-table coder as a 128-lane lax.scan program; the device
+            path for local-TPU deployments (SURVEY §7 step 8),
 * "bz2" / "zlib" / "store" — stdlib alternatives.
 
 Any codec may be prefixed "pK:" (K in 2,4,8): the stream is treated as an
@@ -70,6 +73,9 @@ def compress(name: str, data: bytes) -> bytes:
     if base in _RC_FAMILIES:
         from minicom_tpu import native
         return native.rc_encode(base, data)
+    if base == "trans":
+        from minicom_tpu.entropy import device_rans
+        return device_rans.compress(data)
     raise ValueError(f"unknown codec {name!r}")
 
 
@@ -86,6 +92,9 @@ def decompress(name: str, data: bytes, raw_len: int) -> bytes:
     elif base in _RC_FAMILIES:
         from minicom_tpu import native
         out = native.rc_decode(base, data, raw_len)
+    elif base == "trans":
+        from minicom_tpu.entropy import device_rans
+        out = device_rans.decompress(data)
     else:
         raise ValueError(f"unknown codec {name!r}")
     return _interleave(out, stride)

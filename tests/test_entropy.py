@@ -77,3 +77,52 @@ def test_auto_codec_container(tmp_path, rng):
     meta, got = container.read_container(str(p))
     assert got == streams
     assert all(e["codec"] in ("xz", "o1rc", "store") for e in meta["streams"])
+
+
+# ---------------------------------------------------------------- device rANS
+
+@pytest.mark.parametrize("payload", ["uniform", "skewed", "const", "text",
+                                     "empty", "tiny"])
+def test_device_rans_roundtrip(rng, payload):
+    from minicom_tpu.entropy import device_rans
+    data = {
+        "uniform": bytes(rng.integers(0, 256, 50_000, dtype=np.uint8)),
+        "skewed": bytes(rng.choice([0, 0, 0, 0, 1, 2, 65],
+                                   40_000).astype(np.uint8)),
+        "const": b"\x00" * 30_000,          # f == M: zero-bit symbols
+        "text": (b"0\n" * 5000 + b"17G44\n" * 700),
+        "empty": b"",
+        "tiny": b"Q",
+    }[payload]
+    blob = device_rans.compress(data)
+    assert device_rans.decompress(blob) == data
+    if payload in ("skewed", "const", "text"):
+        assert len(blob) < max(len(data), 2000)  # actually compresses
+
+
+def test_device_rans_multiblock(rng):
+    from minicom_tpu.entropy import device_rans
+    # > BLOCK symbols -> several blocks incl. a padded tail tier
+    data = bytes(rng.choice([3, 7, 7, 7, 9], device_rans.BLOCK + 12345)
+                 .astype(np.uint8))
+    blob = device_rans.compress(data)
+    assert device_rans.decompress(blob) == data
+
+
+def test_device_rans_near_entropy(rng):
+    """Order-0 rANS should land within ~2% of the order-0 entropy bound."""
+    from minicom_tpu.entropy import device_rans
+    p = np.array([0.5, 0.25, 0.125, 0.0625, 0.0625])
+    data = rng.choice(5, 200_000, p=p).astype(np.uint8).tobytes()
+    h_bits = -(p * np.log2(p)).sum() * len(data)
+    blob = device_rans.compress(data)
+    overhead = 8 + 2 + 2 + 8 + 512 + 128 * 8   # frame + tables + states
+    assert len(blob) - overhead < (h_bits / 8) * 1.02
+
+
+def test_device_rans_backend_dispatch(rng):
+    data = bytes(rng.integers(0, 8, 5000, dtype=np.uint8))
+    blob = backend.compress("trans", data)
+    assert backend.decompress("trans", blob, len(data)) == data
+    blob = backend.compress("p2:trans", data)
+    assert backend.decompress("p2:trans", blob, len(data)) == data

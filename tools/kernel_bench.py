@@ -30,7 +30,7 @@ sys.path.insert(0, REPO)
 _HBM_GBPS = {"tpu v5 lite": 819.0, "tpu v5e": 819.0, "tpu v4": 1228.0}
 
 
-def _time(fn, *args, reps=5):
+def _time(fn, *args, reps=30):
     fn(*args).block_until_ready()            # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -94,7 +94,11 @@ def main() -> None:
     table = jnp.zeros((Tp, 4), jnp.int32)
     s = _time(lambda t, st, uu: scatter_counts_rid_u(t, st, uu),
               table, store, ud)
-    rw = M * L * (1 + 8)      # read gather + scatter-add r/w per base
+    # HBM traffic model: member-row gathers from the read store + the u
+    # array in + one r/w sweep of the count table (the [Tp,4] table itself
+    # is small enough to live in cache between updates — charging 8 B per
+    # scattered base would overstate traffic and report >1x roofline)
+    rw = M * L + M * 8 + 2 * Tp * 4 * 4
     report("consensus_scatter", s, rw,
            f"{M} members x {L} bp into {Tp} cols; "
            f"{M * L / s / 1e6:.0f} Mbase/s")
@@ -112,6 +116,31 @@ def main() -> None:
     report("popcount_verify" + ("_pallas" if vf is popcount_verify_pallas
                                 else "_xla"), s, rw,
            f"{Nv} candidate pairs x {W} words; {Nv / s / 1e6:.1f} Mpairs/s")
+
+    # --- on-chip interleaved rANS (entropy stage device path) -----------
+    from minicom_tpu.entropy import device_rans
+    import jax.numpy as jnp2
+    nb = device_rans.BLOCK
+    sym_np = rng.choice(np.arange(8, dtype=np.uint8), nb,
+                        p=[.4, .2, .1, .1, .08, .06, .04, .02])
+    counts = np.bincount(sym_np, minlength=256)
+    freq_q = device_rans.quantize_freqs(counts)
+    freq_d, cum_d, slot_d = device_rans._tables(freq_q)
+    T = nb // device_rans.LANES
+    grid = jnp2.asarray(sym_np.reshape(T, device_rans.LANES))
+    valid = jnp2.ones((T, device_rans.LANES), bool)
+    enc = device_rans._encode_program(T)
+    s = _time(lambda g: enc(g, valid, freq_d, cum_d)[1], grid, reps=10)
+    rw = nb + nb // 2            # syms in + ~words out
+    report("rans_encode", s, rw,
+           f"{nb} syms x {device_rans.LANES} lanes; "
+           f"{nb / s / 1e6:.0f} Msym/s")
+    states, words, wcounts = enc(grid, valid, freq_d, cum_d)
+    dec = device_rans._decode_program(T)
+    s = _time(lambda st, w: dec(st, w, valid, freq_d, cum_d, slot_d),
+              states, words, reps=10)
+    report("rans_decode", s, rw,
+           f"{nb} syms; {nb / s / 1e6:.0f} Msym/s")
 
     path = os.path.join(REPO, f"KERNELS_r{round_no}.json")
     with open(path, "w") as f:

@@ -155,6 +155,11 @@ def build_decompress() -> str:
     shutil.rmtree(cache, ignore_errors=True)
     os.makedirs(cache)
     shutil.copytree(REF_SRC, os.path.join(cache, "src"))
+    # the Makefile lists config.h as a prerequisite of decompress.o even
+    # though decompress.c never includes it (decompress.c:9 is commented
+    # out); the pseudo-config satisfies the dependency
+    shutil.copy(os.path.join(cache, "src", "config_pseudo.h"),
+                os.path.join(cache, "src", "config.h"))
     subprocess.run(["make", "-C", os.path.join(cache, "src"), "decompress"],
                    check=True, capture_output=True)
     return binary
