@@ -160,6 +160,8 @@ def main():
                    "ref_bytes_bwt": r["ref_stream_bytes_bwt"],
                    "ref_wall_s": r["ref_wall_s"],
                    "ref_decode_wall_s": r.get("ref_decode_wall_s"),
+                   "ref_entropy_decode_proxy_s":
+                       r.get("ref_entropy_decode_proxy_s"),
                    "size_vs_ref": round(r["ref_stream_bytes"] / mtc_bytes, 4),
                    # vs best-of(xz -9e, bz2 -9) per reference stream — the
                    # tighter, bsc-family-credible proxy (VERDICT r03 item 2)

@@ -90,23 +90,41 @@ def _iter_class_blocks(meta: dict, streams: dict,
     order, one at a time — callers place each block into the output and drop
     it before the next is built, so peak memory stays ~1 block + output
     instead of every class at once (the r03 ORDER-decode RSS blowup,
-    decode.c analogue: decompress.c writes streams incrementally)."""
+    decode.c analogue: decompress.c writes streams incrementally).
+
+    Per-class build seconds land in stats as decode_<class>_s so the decode
+    wall is attributable below the stage level."""
+    import time as _time
+
+    def _t(key, fn):
+        t0 = _time.perf_counter()
+        blk = fn()
+        if stats is not None:
+            k = f"decode_{key}_s"
+            stats[k] = round(stats.get(k, 0.0)
+                             + _time.perf_counter() - t0, 4)
+        return blk
+
     L = meta["readlen"]
     yield "alla", _const_reads(b"A", meta["n_alla"], L)
     yield "allt", _const_reads(b"T", meta["n_allt"], L)
     yield "alln", _const_reads(b"N", meta["n_alln"], L)
-    yield "aa", diff_decode(streams["aa"],
-                            _const_reads(b"A", meta["n_aa"], L), meta["n_aa"])
-    yield "tt", diff_decode(streams["tt"],
-                            _const_reads(b"T", meta["n_tt"], L), meta["n_tt"])
-    yield "nn", diff_decode(streams["nn"],
-                            _const_reads(b"N", meta["n_nn"], L), meta["n_nn"])
+    yield "aa", _t("aattnn", lambda: diff_decode(
+        streams["aa"], _const_reads(b"A", meta["n_aa"], L), meta["n_aa"]))
+    yield "tt", _t("aattnn", lambda: diff_decode(
+        streams["tt"], _const_reads(b"T", meta["n_tt"], L), meta["n_tt"]))
+    yield "nn", _t("aattnn", lambda: diff_decode(
+        streams["nn"], _const_reads(b"N", meta["n_nn"], L), meta["n_nn"]))
     ns = np.frombuffer(streams["nsingle"], np.uint8)
     yield "nsingle", (ns.reshape(meta["n_nsingle"], L + 1)[:, :L]
                       if meta["n_nsingle"] else np.zeros((0, L), np.uint8))
-    sg = unpack_2bit(np.frombuffer(streams["single"], np.uint8),
-                     meta["n_single"] * L)
-    yield "single", codes_to_ascii(sg.reshape(meta["n_single"], L))
+
+    def _singles():
+        sg = unpack_2bit(np.frombuffer(streams["single"], np.uint8),
+                         meta["n_single"] * L)
+        return codes_to_ascii(sg.reshape(meta["n_single"], L))
+
+    yield "single", _t("single", _singles)
     yield "clusters", _unpack_cluster_reads(meta, streams, stats)
 
 

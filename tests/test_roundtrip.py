@@ -115,3 +115,20 @@ def test_archive_deterministic(tmp_path, rng):
     compressor.compress(str(fq), str(a1))
     compressor.compress(str(fq), str(a2))
     assert a1.read_bytes() == a2.read_bytes()
+
+
+def test_roundtrip_hard_profile(tmp_path):
+    """The second bench distribution (150 bp, 2% error, power-law coverage
+    skew — bench.py profile='hard') roundtrips exactly; guards the L=150
+    shape ladder and high-error paths the default profile never hits."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from bench import make_dataset
+    fq = tmp_path / "hard.fastq"
+    make_dataset(str(fq), 20_000, profile="hard")
+    arc, dec = tmp_path / "h.mtc", tmp_path / "h.reads"
+    compressor.compress(str(fq), str(arc))
+    compressor.decompress(str(arc), str(dec))
+    want = sorted(open(fq, "rb").read().splitlines()[1::4])
+    got = sorted(open(dec, "rb").read().splitlines())
+    assert want == got

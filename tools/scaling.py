@@ -91,6 +91,14 @@ def main() -> None:
     from bench import make_dataset
     seq_bytes = make_dataset(fq, n_reads)
 
+    # threads-matched baseline: 1 proc x 1 OpenMP thread. Comparing P procs
+    # x 1 thread against it isolates PROCESS sharding from intra-process
+    # threading (on a 2-core host the default comparison makes each rank
+    # lose its second OpenMP thread as P grows, which reads as anti-scaling
+    # even where the sharding itself is fine).
+    base1 = run_group(1, fq, tmp, 1)
+    base1 = run_group(1, fq, tmp, 1)  # second pass = warm measurement
+
     results = []
     for nproc in (1, 2, 4):
         threads = max(1, ncpu // nproc)
@@ -111,9 +119,13 @@ def main() -> None:
     for r in results:
         r.pop("archive_path", None)
     t1 = results[0]["encode_s"]
+    t11 = base1["encode_s"]
     for r in results:
         r["speedup_vs_1proc"] = round(t1 / r["encode_s"], 3)
         r["efficiency"] = round(t1 / r["encode_s"] / r["nproc"], 3)
+        # vs the threads-matched 1proc x 1thread baseline: the process-
+        # sharding contribution alone
+        r["speedup_vs_1proc_1thread"] = round(t11 / r["encode_s"], 3)
     # sharded-vs-replicated attribution (VERDICT r03 item 4): a stage whose
     # per-rank seconds shrink ~1/P is sharded; one that stays flat is
     # replicated glue. Report the per-stage 2-proc/1-proc ratio so the
@@ -124,6 +136,11 @@ def main() -> None:
     s2 = next((r.get("stage_s", {}) for r in results if r["nproc"] == 2), {})
     stage_ratio = {k: round(s2[k] / s1[k], 3)
                    for k in s1 if k in s2 and s1[k] > 0.05}
+    # the sharding-only per-stage view: 2 procs x 1 thread vs 1 proc x
+    # 1 thread (a ratio ~0.5 = fully sharded; ~1.0 = replicated)
+    s11 = base1.get("stage_s", {})
+    stage_ratio_1t = {k: round(s2[k] / s11[k], 3)
+                      for k in s11 if k in s2 and s11[k] > 0.05}
     out = {
         "n_reads": n_reads, "seq_bytes": seq_bytes,
         "host_cpu_count": ncpu,
@@ -132,6 +149,9 @@ def main() -> None:
                  "multi-host"),
         "archive_bytes_identical_across_nproc": identical,
         "stage_s_ratio_2proc_over_1proc": stage_ratio,
+        "stage_s_ratio_2proc_over_1proc_1thread": stage_ratio_1t,
+        "baseline_1proc_1thread": {k: base1[k] for k in
+                                   ("encode_s", "stage_s", "sub_stage_s")},
         "runs": results,
     }
     path = os.path.join(REPO, f"SCALING_r{round_no}.json")
