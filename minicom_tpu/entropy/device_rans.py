@@ -174,6 +174,19 @@ def _tier(T: int) -> int:
     return t
 
 
+def _wtier(W: int) -> int:
+    """Round the per-lane word-matrix height up to a pow2 tier (>=64) so the
+    decode program shape is dataset-independent too — without this, W varies
+    with the max per-lane emission count of every block and jax.jit retraces
+    per block (ADVICE r04). Zero-padding is safe: decode reads
+    words[min(ptr, W-1)] and the validity mask stops every lane at its own
+    word count."""
+    t = 64
+    while t < W:
+        t <<= 1
+    return t
+
+
 def _encode_block(syms: np.ndarray) -> bytes:
     """One rANS block over <= BLOCK uint8 symbols."""
     import jax.numpy as jnp
@@ -192,8 +205,8 @@ def _encode_block(syms: np.ndarray) -> bytes:
     words = np.asarray(words)
     wcounts = np.asarray(wcounts)
     head = (bytes([_VERSION, LANES.bit_length() - 1])
-            + np.uint16(M).tobytes()
-            + np.uint64(n).tobytes()
+            + np.array([M], "<u2").tobytes()
+            + np.array([n], "<u8").tobytes()
             + freq_q.astype("<u2").tobytes()
             + states.astype("<u4").tobytes()
             + wcounts.astype("<u4").tobytes())
@@ -207,10 +220,13 @@ def _decode_block(blob: bytes | memoryview) -> tuple[np.ndarray, int]:
     """Returns (symbols, bytes consumed)."""
     import jax.numpy as jnp
     blob = memoryview(blob)
-    assert blob[0] == _VERSION and (1 << blob[1]) == LANES
+    if blob[0] != _VERSION or (1 << blob[1]) != LANES:
+        raise ValueError("trans stream: bad block header "
+                         f"(version {blob[0]}, lanes 2^{blob[1]})")
     off = 2
     m = int(np.frombuffer(blob, "<u2", 1, off)[0]); off += 2
-    assert m == M
+    if m != M:
+        raise ValueError(f"trans stream: table size {m} != {M}")
     n = int(np.frombuffer(blob, "<u8", 1, off)[0]); off += 8
     freq_q = np.frombuffer(blob, "<u2", 256, off).copy(); off += 512
     states = np.frombuffer(blob, "<u4", LANES, off).copy(); off += 4 * LANES
@@ -220,7 +236,7 @@ def _decode_block(blob: bytes | memoryview) -> tuple[np.ndarray, int]:
     flat = np.frombuffer(blob, "<u2", total_words, off)
     off += 2 * total_words
     T = _tier(max(1, -(-n // LANES)))
-    W = max(1, int(wcounts.max()))
+    W = _wtier(max(1, int(wcounts.max())))
     words = np.zeros((W, LANES), np.uint16)
     starts = np.concatenate([[0], np.cumsum(wcounts)])
     for l in range(LANES):
@@ -236,7 +252,7 @@ def _decode_block(blob: bytes | memoryview) -> tuple[np.ndarray, int]:
 def compress(data: bytes) -> bytes:
     """Codec entry: uint8 stream -> framed rANS blocks."""
     syms = np.frombuffer(data, np.uint8)
-    parts = [np.uint64(len(syms)).tobytes()]
+    parts = [np.array([len(syms)], "<u8").tobytes()]
     for i in range(0, len(syms), BLOCK):
         parts.append(_encode_block(syms[i: i + BLOCK]))
     return b"".join(parts)
@@ -252,5 +268,7 @@ def decompress(blob: bytes) -> bytes:
         out.append(syms)
         got += len(syms)
         off += used
-    assert got == n
+    if got != n:
+        raise ValueError(
+            f"trans stream: decoded {got} symbols, header says {n}")
     return b"".join(s.tobytes() for s in out)
