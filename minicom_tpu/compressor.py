@@ -175,7 +175,9 @@ def decompress(archive_path: str, out_path: str,
                stats: StageStats | None = None) -> dict:
     stats = stats or StageStats()
     with stats.stage("read_container"):   # archive read + entropy decode
-        meta, streams = container.read_container(archive_path)
+        meta, streams = container.read_container(
+            archive_path,
+            stats.counters if os.environ.get("MTC_DECODE_PROFILE") else None)
     with stats.stage("decode"):
         if meta["pe"]:
             f1, f2 = decode_mod.assemble_pe(meta, streams)

@@ -11,6 +11,10 @@ through a named backend:
             context (for the packed consensus / singleton streams: repeated
             genome regions across contigs predict the next base — the
             redundancy the reference outsources to bsc's BWT),
+* "dz"    — native base-level LZ front end + BLOCKED dnarc literals: the
+            cross-contig repeats become copy tokens (decoded at memcpy
+            speed) so the literal entropy stage parallelizes — the decode-
+            side answer to dnarc's serial one-big-model pass (r05),
 * "trans" — ON-CHIP interleaved rANS (entropy/device_rans.py): order-0
             static-table coder as a 128-lane lax.scan program; the device
             path for local-TPU deployments (SURVEY §7 step 8),
@@ -35,7 +39,7 @@ import numpy as np
 
 _XZ_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 9 | lzma.PRESET_EXTREME}]
 
-_RC_FAMILIES = ("o1rc", "o2rc", "dnarc")
+_RC_FAMILIES = ("o1rc", "o2rc", "dnarc", "dz")
 
 
 def _split(name: str) -> tuple[int, str]:
@@ -70,6 +74,9 @@ def compress(name: str, data: bytes) -> bytes:
         return bz2.compress(data, 9)
     if base == "zlib":
         return zlib.compress(data, 9)
+    if base == "dz":
+        from minicom_tpu import native
+        return native.dz_encode(data)
     if base in _RC_FAMILIES:
         from minicom_tpu import native
         return native.rc_encode(base, data)
@@ -89,6 +96,9 @@ def decompress(name: str, data: bytes, raw_len: int) -> bytes:
         out = bz2.decompress(data)
     elif base == "zlib":
         out = zlib.decompress(data)
+    elif base == "dz":
+        from minicom_tpu import native
+        out = native.dz_decode(data, raw_len)
     elif base in _RC_FAMILIES:
         from minicom_tpu import native
         out = native.rc_decode(base, data, raw_len)

@@ -21,7 +21,8 @@ _SRCS = [os.path.join(_DIR, "diffcodec.cpp"),
          os.path.join(_DIR, "realign.cpp"),
          os.path.join(_DIR, "fastq.cpp"),
          os.path.join(_DIR, "consensus.cpp"),
-         os.path.join(_DIR, "sketch.cpp")]
+         os.path.join(_DIR, "sketch.cpp"),
+         os.path.join(_DIR, "dnalz.cpp")]
 
 _lib = None
 
@@ -66,6 +67,12 @@ def _load():
                 fn.restype = ctypes.c_int64
                 fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                ctypes.c_void_p, ctypes.c_int64]
+        lib.dz_encode.restype = ctypes.c_int64
+        lib.dz_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_void_p, ctypes.c_int64]
+        lib.dz_decode.restype = ctypes.c_int64
+        lib.dz_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_void_p, ctypes.c_int64]
         lib.rc_encode_blocked.restype = ctypes.c_int64
         lib.rc_encode_blocked.argtypes = [ctypes.c_int, ctypes.c_void_p,
                                           ctypes.c_int64, ctypes.c_int64,
@@ -211,9 +218,11 @@ def diff_encode_win(ref_codes: np.ndarray, win_base: np.ndarray,
 
 
 def diff_decode_win(text: bytes, ref_codes: np.ndarray, win_base: np.ndarray,
-                    dirs, n_rows: int, L: int):
+                    dirs, n_rows: int, L: int, out: np.ndarray | None = None):
     """Windowed diff decode -> [n_rows, L] ASCII read rows (RC applied where
-    dirs==1), or None if the native lib is unavailable."""
+    dirs==1), or None if the native lib is unavailable. Pass a C-contiguous
+    [n_rows, L] `out` to decode in place (the 5M decode path writes straight
+    into the final output matrix, saving a full-matrix copy)."""
     lib = _load()
     if not lib:
         return None
@@ -226,7 +235,10 @@ def diff_decode_win(text: bytes, ref_codes: np.ndarray, win_base: np.ndarray,
         dirs = np.ascontiguousarray(dirs, np.int8)
         dptr = dirs.ctypes.data
     buf = np.frombuffer(text, dtype=np.uint8)
-    out = np.empty((n_rows, L), dtype=np.uint8)
+    if out is None:
+        out = np.empty((n_rows, L), dtype=np.uint8)
+    assert out.flags.c_contiguous and out.shape == (n_rows, L) \
+        and out.dtype == np.uint8
     r = lib.diff_decode_win(buf.ctypes.data, len(buf), ref_codes.ctypes.data,
                             win_base.ctypes.data, dptr, n_rows, L,
                             out.ctypes.data)
@@ -342,6 +354,34 @@ def rc_decode(family: str, data: bytes, raw_len: int) -> bytes:
                               out.ctypes.data, raw_len)
     if r != raw_len:
         raise ValueError(f"{family}: corrupt blocked stream")
+    return out.tobytes()
+
+
+def dz_encode(data: bytes) -> bytes:
+    """Base-level LZ + blocked-dnarc literals for packed-DNA streams
+    (dnalz.cpp; native only — no fallback)."""
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native dz codec unavailable")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cap = len(buf) + len(buf) // 2 + 4096
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.dz_encode(buf.ctypes.data, len(buf), out.ctypes.data, cap)
+        if n >= 0:
+            return out[:n].tobytes()
+        cap *= 4
+
+
+def dz_decode(data: bytes, raw_len: int) -> bytes:
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native dz codec unavailable")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(raw_len, dtype=np.uint8)
+    r = lib.dz_decode(buf.ctypes.data, len(buf), out.ctypes.data, raw_len)
+    if r != raw_len:
+        raise ValueError("dz: corrupt stream")
     return out.tobytes()
 
 

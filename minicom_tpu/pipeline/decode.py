@@ -27,20 +27,35 @@ from minicom_tpu.pipeline.encode import DPOS_ESCAPE
 
 
 def _unpack_cluster_reads(meta: dict, streams: dict,
-                          stats: dict | None = None) -> np.ndarray:
+                          stats: dict | None = None,
+                          out: np.ndarray | None = None) -> np.ndarray:
     """Reconstruct all cluster member reads -> [M, L] uint8 ASCII rows, in
-    canonical emission order."""
+    canonical emission order (into `out` when given: rows are written in
+    place, saving a second full-matrix copy in the assembler)."""
     from minicom_tpu.pipeline.merge import _sub
     with _sub(stats, "decode_clusters"):
-        return _unpack_cluster_reads_inner(meta, streams)
+        return _unpack_cluster_reads_inner(meta, streams, stats, out)
 
 
-def _unpack_cluster_reads_inner(meta: dict, streams: dict) -> np.ndarray:
+def _unpack_cluster_reads_inner(meta: dict, streams: dict,
+                                stats: dict | None = None,
+                                out: np.ndarray | None = None) -> np.ndarray:
+    import time as _time
+
+    def _t(key, t0):
+        if stats is not None:
+            k = f"decode_cl_{key}_s"
+            t1 = _time.perf_counter()
+            stats[k] = round(stats.get(k, 0.0) + t1 - t0, 4)
+            return t1
+        return t0
+
     L = meta["readlen"]
     M = meta["n_members"]
     C = meta["n_clusters"]
     if M == 0:
         return np.zeros((0, L), np.uint8)
+    t0 = _time.perf_counter()
     cnt = np.frombuffer(streams["cnt"], np.uint32).astype(np.int64)
     d16 = np.frombuffer(streams["dpos"], np.uint16)
     dx = np.frombuffer(streams["dposx"], np.uint32)
@@ -63,11 +78,14 @@ def _unpack_cluster_reads_inner(meta: dict, streams: dict) -> np.ndarray:
     ref_len = last_pos + L
     rptr = np.zeros(C + 1, np.int64)
     np.cumsum(ref_len, out=rptr[1:])
+    t0 = _t("meta", t0)
     ref_cat = unpack_2bit(np.frombuffer(streams["ref"], np.uint8), int(rptr[-1]))
+    t0 = _t("unpackref", t0)
 
     base = rptr[segc] + pos
     reads = native.diff_decode_win(streams["diff"], ref_cat, base,
-                                   dirs.astype(np.int8), M, L)
+                                   dirs.astype(np.int8), M, L, out=out)
+    _t("diff", t0)
     if reads is None:  # pure-Python fallback
         win = base[:, None] + np.arange(L)[None, :]
         ref_rows = codes_to_ascii(ref_cat[win])
@@ -77,6 +95,9 @@ def _unpack_cluster_reads_inner(meta: dict, streams: dict) -> np.ndarray:
             codes = ascii_to_codes(reads[rc_mask])
             comp = np.where(codes < 4, 3 - codes, codes).astype(np.uint8)
             reads[rc_mask] = codes_to_ascii(np.flip(comp, axis=1))
+        if out is not None:
+            out[:] = reads
+            reads = out
     return reads
 
 
@@ -85,7 +106,8 @@ def _const_reads(char: bytes, n: int, L: int) -> np.ndarray:
 
 
 def _iter_class_blocks(meta: dict, streams: dict,
-                       stats: dict | None = None):
+                       stats: dict | None = None,
+                       cluster_out: np.ndarray | None = None):
     """Yield (class_key, [*, L] uint8 ASCII block) in canonical emission
     order, one at a time — callers place each block into the output and drop
     it before the next is built, so peak memory stays ~1 block + output
@@ -125,7 +147,7 @@ def _iter_class_blocks(meta: dict, streams: dict,
         return codes_to_ascii(sg.reshape(meta["n_single"], L))
 
     yield "single", _t("single", _singles)
-    yield "clusters", _unpack_cluster_reads(meta, streams, stats)
+    yield "clusters", _unpack_cluster_reads(meta, streams, stats, cluster_out)
 
 
 def decode_streams(meta: dict, streams: dict) -> dict:
@@ -140,9 +162,15 @@ _CLASS_ORDER = ["alla", "allt", "alln", "aa", "tt", "nn", "nsingle", "single",
 def assemble_unordered(meta: dict, streams: dict,
                        stats: dict | None = None) -> np.ndarray:
     out = np.empty((meta["n_seq"], meta["readlen"]), np.uint8)
+    # cluster members are the LAST class block, so they decode straight into
+    # the output tail (no second full-matrix copy — at 5M reads the cluster
+    # block is ~90% of the 505 MB output)
     pos = 0
-    for _, blk in _iter_class_blocks(meta, streams, stats):
-        out[pos:pos + len(blk)] = blk
+    for key, blk in _iter_class_blocks(
+            meta, streams, stats,
+            cluster_out=out[meta["n_seq"] - meta["n_members"]:]):
+        if key != "clusters" or blk.base is not out:
+            out[pos:pos + len(blk)] = blk
         pos += len(blk)
     assert pos == meta["n_seq"], "class blocks do not partition the read set"
     return out

@@ -9,7 +9,7 @@ from minicom_tpu import native
 
 
 @pytest.mark.parametrize("codec", ["xz", "bz2", "zlib", "store", "o1rc",
-                                   "o2rc", "dnarc", "p2:o1rc", "p4:xz",
+                                   "o2rc", "dnarc", "dz", "p2:o1rc", "p4:xz",
                                    "p2:dnarc"])
 def test_backend_roundtrip(rng, codec):
     data = bytes(rng.integers(0, 64, size=10000, dtype=np.uint8)) + b"0\n" * 500
@@ -22,6 +22,37 @@ def test_rc_empty_and_tiny(family):
     for data in [b"", b"A", b"ACGT" * 3]:
         blob = native.rc_encode(family, data)
         assert native.rc_decode(family, blob, len(data)) == data
+
+
+def test_dz_empty_and_tiny():
+    for data in [b"", b"A", b"ACGT" * 3]:
+        blob = native.dz_encode(data)
+        assert native.dz_decode(blob, len(data)) == data
+
+
+def test_dz_dedupes_fwd_and_rc_repeats(rng):
+    """The LZ front end must capture long repeats in BOTH orientations (the
+    consensus stream's contigs cover loci in arbitrary orientation, r05) and
+    beat plain whole-stream dnarc on repeat-heavy packed DNA."""
+    seq = rng.integers(0, 4, 60000, dtype=np.uint8)
+    rc = (3 - seq)[::-1]
+    full = np.concatenate([seq, seq.copy(), rc,
+                           rng.integers(0, 4, 20000, dtype=np.uint8)])
+    packed = np.zeros((len(full) + 3) // 4, np.uint8)
+    for i in range(4):
+        part = full[i::4]
+        packed[: len(part)] |= part << (2 * i)
+    data = packed.tobytes()
+    blob = backend.compress("dz", data)
+    assert backend.decompress("dz", blob, len(data)) == data
+    # the two repeated copies (1 fwd + 1 rc) are half the stream; dz must
+    # reduce them to near-free copy tokens
+    assert len(blob) < len(data) * 0.60
+    # a bad magic/version must raise (deeper corruption is the container
+    # CRC's job, io/container.py)
+    corrupt = bytes([blob[0] ^ 0xFF]) + blob[1:]
+    with pytest.raises(ValueError):
+        backend.decompress("dz", corrupt, len(data))
 
 
 def test_o1rc_compresses_structured(rng):
