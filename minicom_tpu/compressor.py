@@ -175,19 +175,24 @@ def decompress(archive_path: str, out_path: str,
                stats: StageStats | None = None) -> dict:
     stats = stats or StageStats()
     with stats.stage("read_container"):   # archive read + entropy decode
+        # output matrices are allocated + prefaulted on a side thread while
+        # the (GIL-releasing) entropy decoders run: the ~500 MB of page
+        # faults at 5M reads disappear from the assembly critical path
+        pre = decode_mod.Prealloc(container.read_header(archive_path))
         meta, streams = container.read_container(
             archive_path,
             stats.counters if os.environ.get("MTC_DECODE_PROFILE") else None)
     with stats.stage("decode"):
         if meta["pe"]:
-            f1, f2 = decode_mod.assemble_pe(meta, streams)
+            f1, f2 = decode_mod.assemble_pe(meta, streams, pre=pre)
         elif meta["order"]:
-            f1, f2 = decode_mod.assemble_order(meta, streams), None
+            f1, f2 = decode_mod.assemble_order(meta, streams, pre=pre), None
         else:
-            f1 = decode_mod.assemble_unordered(meta, streams, stats.counters)
+            f1 = decode_mod.assemble_unordered(meta, streams, stats.counters,
+                                               pre=pre)
             f2 = None
-    with stats.stage("write"):
-        fastq.write_reads(out_path, f1)
+    with stats.stage("write"):   # assemble returns lines matrices: pure I/O
+        fastq.write_lines(out_path, f1)
         if f2 is not None:
-            fastq.write_reads(out_path2 or out_path + ".2", f2)
+            fastq.write_lines(out_path2 or out_path + ".2", f2)
     return stats.summary()

@@ -161,6 +161,26 @@ def write_container(path: str, meta: dict, streams: Dict[str, bytes],
     return len(MAGIC) + 4 + len(hdr) + off
 
 
+def read_header(path: str) -> dict:
+    """Parse just the archive header (mode, counts, stream table) — cheap;
+    lets the decompressor pre-allocate + prefault output matrices while the
+    streams entropy-decode (r05)."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:4] != MAGIC:
+            raise ValueError(f"{path}: not a .mtc archive")
+        if len(head) < 8:
+            raise ValueError(f"{path}: truncated archive header")
+        (hlen,) = struct.unpack("<I", head[4:8])
+        raw = f.read(hlen)
+    if len(raw) < hlen:
+        raise ValueError(f"{path}: truncated archive header")
+    try:
+        return json.loads(raw)
+    except ValueError as e:
+        raise ValueError(f"{path}: corrupt archive header ({e})") from None
+
+
 def read_container(path: str, stats: dict | None = None
                    ) -> tuple[dict, Dict[str, bytes]]:
     """stats (optional): receives per-stream entropy-decode wall seconds as

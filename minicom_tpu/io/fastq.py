@@ -172,6 +172,13 @@ def _read_fastq_codes_sharded(path: str) -> np.ndarray:
     return allc.reshape(-1, L) if L else np.zeros((0, 0), np.uint8)
 
 
+def write_lines(path: str, lines_mat: np.ndarray) -> None:
+    """Write an [N, L+1] matrix whose last column is already '\\n' (built by
+    pipeline.decode._alloc_lines): pure I/O, no copy."""
+    with open(path, "wb") as f:
+        f.write(memoryview(lines_mat).cast("B"))
+
+
 def write_reads(path: str, ascii_mat: np.ndarray) -> None:
     """Write a [N, L] uint8 ASCII matrix as newline-terminated sequence
     lines, in bounded row chunks (a whole-matrix (L+1) copy would add a full

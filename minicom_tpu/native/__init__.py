@@ -67,6 +67,16 @@ def _load():
                 fn.restype = ctypes.c_int64
                 fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                ctypes.c_void_p, ctypes.c_int64]
+        lib.diff_decode_win_strided.restype = ctypes.c_int64
+        lib.diff_decode_win_strided.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
+        lib.decode_cluster_meta.restype = ctypes.c_int64
+        lib.decode_cluster_meta.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p]
         lib.dz_encode.restype = ctypes.c_int64
         lib.dz_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                   ctypes.c_void_p, ctypes.c_int64]
@@ -237,14 +247,39 @@ def diff_decode_win(text: bytes, ref_codes: np.ndarray, win_base: np.ndarray,
     buf = np.frombuffer(text, dtype=np.uint8)
     if out is None:
         out = np.empty((n_rows, L), dtype=np.uint8)
-    assert out.flags.c_contiguous and out.shape == (n_rows, L) \
-        and out.dtype == np.uint8
-    r = lib.diff_decode_win(buf.ctypes.data, len(buf), ref_codes.ctypes.data,
-                            win_base.ctypes.data, dptr, n_rows, L,
-                            out.ctypes.data)
+    # out may be a row-strided view (e.g. the [:, :L] slice of an [N, L+1]
+    # output-with-newlines matrix): rows must be contiguous internally
+    assert out.shape == (n_rows, L) and out.dtype == np.uint8 \
+        and out.strides[1] == 1 and out.strides[0] >= L
+    r = lib.diff_decode_win_strided(
+        buf.ctypes.data, len(buf), ref_codes.ctypes.data,
+        win_base.ctypes.data, dptr, n_rows, L,
+        out.ctypes.data, out.strides[0])
     if r != n_rows:
         raise ValueError(f"diff_decode_win failed at row {-r - 1}")
     return out
+
+
+def decode_cluster_meta(cnt: np.ndarray, d16: np.ndarray, dx: np.ndarray,
+                        dirbits: np.ndarray, M: int, L: int, esc: int):
+    """Cluster streams -> (win_base int64[M], dirs int8[M], ref_total bases)
+    in one native pass, or None if the native lib is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    cnt = np.ascontiguousarray(cnt, np.uint32)
+    d16 = np.ascontiguousarray(d16, np.uint16)
+    dx = np.ascontiguousarray(dx, np.uint32)
+    dirbits = np.ascontiguousarray(dirbits, np.uint8)
+    win_base = np.empty(M, np.int64)
+    dirs = np.empty(M, np.int8)
+    total = lib.decode_cluster_meta(
+        cnt.ctypes.data, len(cnt), d16.ctypes.data, dx.ctypes.data, len(dx),
+        dirbits.ctypes.data, M, L, esc, win_base.ctypes.data,
+        dirs.ctypes.data)
+    if total < 0:
+        raise ValueError("corrupt cluster metadata streams")
+    return win_base, dirs, int(total)
 
 
 def diff_encode_lengths(ref_rows: np.ndarray, read_rows: np.ndarray,

@@ -21,6 +21,10 @@
 #include <omp.h>
 #endif
 
+#if defined(__SSSE3__)
+#include <tmmintrin.h>
+#endif
+
 namespace {
 
 inline int64_t row_encoded_len(const uint8_t* rf, const uint8_t* rd,
@@ -152,6 +156,33 @@ int64_t diff_decode(const uint8_t* text, int64_t text_len,
 
 static const char CODE2ASCII[5] = {'A', 'C', 'G', 'T', 'N'};
 
+namespace {
+
+// 2-bit base codes (0..3, packed-ref alphabet) -> ASCII, one SIMD LUT pass
+inline void codes_row_to_ascii(const uint8_t* c, uint8_t* o, int64_t n) {
+    int64_t i = 0;
+#if defined(__SSSE3__)
+    const __m128i lut = _mm_setr_epi8('A', 'C', 'G', 'T', 'N', 0, 0, 0,
+                                      0, 0, 0, 0, 0, 0, 0, 0);
+    for (; i + 16 <= n; i += 16) {
+        __m128i v = _mm_loadu_si128((const __m128i*)(c + i));
+        _mm_storeu_si128((__m128i*)(o + i), _mm_shuffle_epi8(lut, v));
+    }
+#endif
+    for (; i < n; ++i) o[i] = (uint8_t)CODE2ASCII[c[i]];
+}
+
+struct CompLut {
+    uint8_t t[256];
+    CompLut() {
+        for (int i = 0; i < 256; ++i) t[i] = (uint8_t)i;
+        t['A'] = 'T'; t['T'] = 'A'; t['C'] = 'G'; t['G'] = 'C';
+    }
+};
+static const CompLut kComp;
+
+}  // namespace
+
 int64_t diff_encode_win(const uint8_t* ref_codes, const int64_t* win_base,
                         const uint8_t* read_codes, const int8_t* dirs,
                         int64_t n_rows, int64_t len, int rule, uint8_t* out) {
@@ -211,10 +242,19 @@ int64_t diff_encode_win(const uint8_t* ref_codes, const int64_t* win_base,
 
 // Windowed decode: diff lines + flat ref codes -> ASCII read rows, applying
 // the reverse complement where dirs[r] == 1 (decompress.c:573-602 semantics).
-int64_t diff_decode_win(const uint8_t* text, int64_t text_len,
-                        const uint8_t* ref_codes, const int64_t* win_base,
-                        const int8_t* dirs, int64_t n_rows, int64_t len,
-                        uint8_t* out) {
+// Row r is written at out + r * out_stride (stride >= len lets callers
+// decode straight into an [N, L+1] output-with-newlines matrix, r05).
+//
+// Fast path: the window codes are converted to ASCII directly into the
+// destination row with ONE SIMD LUT pass, then the (few) mismatch chars from
+// the diff line are patched in — instead of building the ref row, the read
+// row, and copying (3 passes/row).
+int64_t diff_decode_win_strided(const uint8_t* text, int64_t text_len,
+                                const uint8_t* ref_codes,
+                                const int64_t* win_base,
+                                const int8_t* dirs, int64_t n_rows,
+                                int64_t len, uint8_t* out,
+                                int64_t out_stride) {
     std::vector<const uint8_t*> starts(n_rows + 1);
     const uint8_t* p = text;
     const uint8_t* end = text + text_len;
@@ -231,23 +271,24 @@ int64_t diff_decode_win(const uint8_t* text, int64_t text_len,
 #pragma omp parallel
 #endif
     {
-        std::vector<uint8_t> rf(len), row(len);
+        std::vector<uint8_t> tmp(len);
 #ifdef _OPENMP
 #pragma omp for schedule(static)
 #endif
         for (int64_t r = 0; r < n_rows; ++r) {
             const uint8_t* w = ref_codes + win_base[r];
-            for (int64_t i = 0; i < len; ++i) rf[i] = CODE2ASCII[w[i]];
+            uint8_t* dst = out + r * out_stride;
+            const bool rc = dirs && dirs[r];
+            uint8_t* rd = rc ? tmp.data() : dst;
+            codes_row_to_ascii(w, rd, len);
             const uint8_t* q = starts[r];
             const uint8_t* qe = starts[r + 1];
-            uint8_t* rd = row.data();
             int64_t pos = 0, eq = 0;
             while (q < qe && *q != '\n') {
                 uint8_t c = *q++;
                 if (c >= 'A' && c <= 'Z') {
-                    while (eq > 0 && pos < len) {
-                        rd[pos] = rf[pos]; ++pos; --eq;
-                    }
+                    pos += eq;
+                    eq = 0;
                     if (pos < len) rd[pos++] = c;
                 } else if (c >= '0' && c <= '9') {
                     eq = eq * 10 + (c - '0');
@@ -259,20 +300,59 @@ int64_t diff_decode_win(const uint8_t* text, int64_t text_len,
                     break;
                 }
             }
-            while (pos < len) { rd[pos] = rf[pos]; ++pos; }
-            uint8_t* o = out + r * len;
-            if (dirs && dirs[r]) {
-                for (int64_t i = 0; i < len; ++i) {
-                    uint8_t c = rd[len - 1 - i];
-                    o[i] = c == 'A' ? 'T' : c == 'C' ? 'G'
-                         : c == 'G' ? 'C' : c == 'T' ? 'A' : c;
-                }
-            } else {
-                memcpy(o, rd, len);
+            if (rc) {
+                for (int64_t i = 0; i < len; ++i)
+                    dst[i] = kComp.t[rd[len - 1 - i]];
             }
         }
     }
     return bad ? -bad : n_rows;
+}
+
+int64_t diff_decode_win(const uint8_t* text, int64_t text_len,
+                        const uint8_t* ref_codes, const int64_t* win_base,
+                        const int8_t* dirs, int64_t n_rows, int64_t len,
+                        uint8_t* out) {
+    return diff_decode_win_strided(text, text_len, ref_codes, win_base, dirs,
+                                   n_rows, len, out, len);
+}
+
+// Cluster stream metadata -> per-member flat ref-window starts + strand
+// flags in ONE serial pass (the numpy cumsum/repeat/gather chain cost ~0.9s
+// at 5M reads, r05). Semantics mirror pipeline/decode.py: member positions
+// are per-cluster running sums of the u16 deltas (escape -> next u32), the
+// cluster's consensus length is last position + L, and consensus extents are
+// concatenated in cluster order (decompress.c:534-602's implicit state).
+// dirs: bit i of dirbits at bit position i%8 of byte i/8 (bit_push layout).
+// Returns total consensus bases, or -1 on malformed streams.
+int64_t decode_cluster_meta(const uint32_t* cnt, int64_t C,
+                            const uint16_t* d16, const uint32_t* dx,
+                            int64_t nx, const uint8_t* dirbits,
+                            int64_t M, int64_t L, uint32_t esc,
+                            int64_t* win_base, int8_t* dirs_out) {
+    int64_t mi = 0, xi = 0, rbase = 0;
+    for (int64_t c = 0; c < C; ++c) {
+        int64_t gp = 0;
+        const int64_t n = (int64_t)cnt[c];
+        if (mi + n > M) return -1;
+        for (int64_t j = 0; j < n; ++j, ++mi) {
+            uint32_t d = d16[mi];
+            int64_t delta;
+            if (d == esc) {
+                if (xi >= nx) return -1;
+                delta = (int64_t)dx[xi++];
+            } else {
+                delta = (int64_t)d;
+            }
+            gp += delta;
+            win_base[mi] = rbase + gp;
+        }
+        rbase += gp + L;
+    }
+    if (mi != M) return -1;
+    for (int64_t i = 0; i < M; ++i)
+        dirs_out[i] = (int8_t)((dirbits[i >> 3] >> (i & 7)) & 1);
+    return rbase;
 }
 
 // Encoded length per row without materializing (used for the 0.4*L accept

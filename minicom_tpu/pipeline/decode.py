@@ -56,36 +56,43 @@ def _unpack_cluster_reads_inner(meta: dict, streams: dict,
     if M == 0:
         return np.zeros((0, L), np.uint8)
     t0 = _time.perf_counter()
-    cnt = np.frombuffer(streams["cnt"], np.uint32).astype(np.int64)
+    cnt = np.frombuffer(streams["cnt"], np.uint32)
     d16 = np.frombuffer(streams["dpos"], np.uint16)
     dx = np.frombuffer(streams["dposx"], np.uint32)
-    delta = d16.astype(np.int64)
-    esc = d16 == DPOS_ESCAPE
-    delta[esc] = dx
-    dirs = unpack_bits(np.frombuffer(streams["dir"], np.uint8), M)
-
-    ptr = np.zeros(C + 1, np.int64)
-    np.cumsum(cnt, out=ptr[1:])
-    segc = np.repeat(np.arange(C), cnt)
-    # per-cluster prefix sum of deltas -> positions
-    gpos = np.cumsum(delta)
-    base = np.zeros(C, np.int64)
-    base[1:] = gpos[ptr[1:-1] - 1]
-    pos = gpos - base[segc]
-
-    # ref extents: last pos + L per cluster
-    last_pos = gpos[ptr[1:] - 1] - base
-    ref_len = last_pos + L
-    rptr = np.zeros(C + 1, np.int64)
-    np.cumsum(ref_len, out=rptr[1:])
+    nm = native.decode_cluster_meta(cnt, d16, dx,
+                                    np.frombuffer(streams["dir"], np.uint8),
+                                    M, L, DPOS_ESCAPE)
+    if nm is not None:
+        base, dirs8, ref_total = nm
+    else:   # pure-numpy meta path
+        delta = d16.astype(np.int64)
+        esc = d16 == DPOS_ESCAPE
+        delta[esc] = dx
+        dirs8 = unpack_bits(np.frombuffer(streams["dir"], np.uint8),
+                            M).astype(np.int8)
+        cnt64 = cnt.astype(np.int64)
+        ptr = np.zeros(C + 1, np.int64)
+        np.cumsum(cnt64, out=ptr[1:])
+        segc = np.repeat(np.arange(C), cnt64)
+        # per-cluster prefix sum of deltas -> positions
+        gpos = np.cumsum(delta)
+        cbase = np.zeros(C, np.int64)
+        cbase[1:] = gpos[ptr[1:-1] - 1]
+        pos = gpos - cbase[segc]
+        # ref extents: last pos + L per cluster
+        last_pos = gpos[ptr[1:] - 1] - cbase
+        rptr = np.zeros(C + 1, np.int64)
+        np.cumsum(last_pos + L, out=rptr[1:])
+        base = rptr[segc] + pos
+        ref_total = int(rptr[-1])
     t0 = _t("meta", t0)
-    ref_cat = unpack_2bit(np.frombuffer(streams["ref"], np.uint8), int(rptr[-1]))
+    ref_cat = unpack_2bit(np.frombuffer(streams["ref"], np.uint8), ref_total)
     t0 = _t("unpackref", t0)
 
-    base = rptr[segc] + pos
     reads = native.diff_decode_win(streams["diff"], ref_cat, base,
-                                   dirs.astype(np.int8), M, L, out=out)
+                                   dirs8, M, L, out=out)
     _t("diff", t0)
+    dirs = dirs8
     if reads is None:  # pure-Python fallback
         win = base[:, None] + np.arange(L)[None, :]
         ref_rows = codes_to_ascii(ref_cat[win])
@@ -159,9 +166,85 @@ _CLASS_ORDER = ["alla", "allt", "alln", "aa", "tt", "nn", "nsingle", "single",
                 "clusters"]
 
 
+def _hugepage_empty(n: int, L1: int) -> np.ndarray:
+    """[n, L1] uint8 backed by an anonymous mmap with MADV_HUGEPAGE: the
+    kernel's page-fault zeroing of a fresh 500 MB output matrix costs ~2.3s
+    in 4 KiB pages but ~0.9s with huge pages (measured r05); the prefault
+    thread (Prealloc) then hides even that under the entropy decode."""
+    size = n * L1
+    if size < (8 << 20):
+        return np.empty((n, L1), np.uint8)
+    import ctypes
+    import mmap as _mmap
+    buf = _mmap.mmap(-1, size)
+    try:
+        addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+        ctypes.CDLL(None).madvise(ctypes.c_void_p(addr),
+                                  ctypes.c_size_t(size), 14)  # MADV_HUGEPAGE
+    except Exception:
+        pass
+    return np.frombuffer(buf, np.uint8).reshape(n, L1)
+
+
+def _alloc_lines(n: int, L: int) -> tuple[np.ndarray, np.ndarray]:
+    """Output-with-newlines matrix [n, L+1] (newline column preset) and its
+    [:, :L] payload view: decode writes rows in place and the writer dumps
+    the full buffer without any copy (r05 decode-win plumbing)."""
+    full = _hugepage_empty(n, L + 1)
+    full[:, L] = ord("\n")
+    return full, full[:, :L]
+
+
+class Prealloc:
+    """Output matrices allocated + first-touched on a background thread while
+    the entropy streams decode (the stream decoders release the GIL): by
+    assembly time every output page is faulted in, so row writes run at
+    memory speed instead of page-fault speed."""
+
+    def __init__(self, meta: dict):
+        import threading
+        L = meta["readlen"]
+        self._pairs = []
+        if meta.get("pe"):
+            shapes = [meta["half"], meta["half"]]
+        else:
+            shapes = [meta["n_seq"]]
+        self._shapes = [(s, L) for s in shapes]
+        self._thread = threading.Thread(target=self._build, daemon=True)
+        self._thread.start()
+
+    def _build(self):
+        try:
+            for n, L in self._shapes:
+                full = _hugepage_empty(n, L + 1)
+                # touch ONE byte per 4 KiB page: faults + kernel zeroing
+                # happen now, at ~1/64 of the memory traffic of a full
+                # column write (which runs at cache speed later)
+                step = max(1, 4096 // (L + 1))
+                if n:
+                    full[::step, 0] = 0
+                self._pairs.append(full)
+        except BaseException as e:   # re-raised on take()
+            self._err = e
+
+    def take(self):
+        """Blocks until allocation finishes; returns [(full, view), ...]."""
+        self._thread.join()
+        if getattr(self, "_err", None) is not None:
+            raise self._err
+        out = []
+        for (n, L), full in zip(self._shapes, self._pairs):
+            full[:, L] = ord("\n")   # pages are faulted: runs at cache speed
+            out.append((full, full[:, :L]))
+        return out
+
+
 def assemble_unordered(meta: dict, streams: dict,
-                       stats: dict | None = None) -> np.ndarray:
-    out = np.empty((meta["n_seq"], meta["readlen"]), np.uint8)
+                       stats: dict | None = None,
+                       pre: "Prealloc | None" = None) -> np.ndarray:
+    """Returns the [n_seq, L+1] lines matrix (newline column included)."""
+    full, out = pre.take()[0] if pre else _alloc_lines(meta["n_seq"],
+                                                       meta["readlen"])
     # cluster members are the LAST class block, so they decode straight into
     # the output tail (no second full-matrix copy — at 5M reads the cluster
     # block is ~90% of the 505 MB output)
@@ -169,11 +252,11 @@ def assemble_unordered(meta: dict, streams: dict,
     for key, blk in _iter_class_blocks(
             meta, streams, stats,
             cluster_out=out[meta["n_seq"] - meta["n_members"]:]):
-        if key != "clusters" or blk.base is not out:
+        if key != "clusters" or blk.base is not full:
             out[pos:pos + len(blk)] = blk
         pos += len(blk)
     assert pos == meta["n_seq"], "class blocks do not partition the read set"
-    return out
+    return full
 
 
 def _class_ids(meta: dict, streams: dict) -> dict:
@@ -211,14 +294,15 @@ def _cluster_ids(meta: dict, streams: dict) -> np.ndarray:
     return out.astype(np.int64)
 
 
-def assemble_order(meta: dict, streams: dict) -> np.ndarray:
+def assemble_order(meta: dict, streams: dict,
+                   pre: "Prealloc | None" = None) -> np.ndarray:
     """Every read placed at its original index via the id streams. Class
     blocks are decoded, scattered into the output and freed ONE AT A TIME —
     the id lists partition [0, n_seq), so the output is written exactly
     once and peak RSS is output + one block (not output + all blocks)."""
     ids = _class_ids(meta, streams)
     L = meta["readlen"]
-    out = np.empty((meta["n_seq"], L), np.uint8)
+    full, out = pre.take()[0] if pre else _alloc_lines(meta["n_seq"], L)
     placed = 0
     for key, blk in _iter_class_blocks(meta, streams):
         tgt = _cluster_ids(meta, streams) if key == "clusters" else ids[key]
@@ -226,10 +310,12 @@ def assemble_order(meta: dict, streams: dict) -> np.ndarray:
             out[tgt] = blk
         placed += len(blk)
     assert placed == meta["n_seq"], "id streams do not partition the read set"
-    return out
+    return full
 
 
-def assemble_pe(meta: dict, streams: dict) -> tuple[np.ndarray, np.ndarray]:
+def assemble_pe(meta: dict, streams: dict,
+                pre: "Prealloc | None" = None
+                ) -> tuple[np.ndarray, np.ndarray]:
     """File bit 0 -> append to mate-1 output in emission order; bit 1 ->
     place at slot peid of the mate-2 output. Streaming per class block (one
     block live at a time), tracking the running emission ordinal."""
@@ -238,8 +324,11 @@ def assemble_pe(meta: dict, streams: dict) -> tuple[np.ndarray, np.ndarray]:
     peids = np.frombuffer(streams["peids"], np.uint32).astype(np.int64)
     L = meta["readlen"]
     half = meta["half"]
-    file1 = np.empty((half, L), np.uint8)
-    file2 = np.empty((half, L), np.uint8)
+    if pre:
+        (full1, file1), (full2, file2) = pre.take()
+    else:
+        full1, file1 = _alloc_lines(half, L)
+        full2, file2 = _alloc_lines(half, L)
     pos = n1 = n2 = 0
     for _, blk in _iter_class_blocks(meta, streams):
         seg = fbits[pos:pos + len(blk)] == 1
@@ -251,4 +340,4 @@ def assemble_pe(meta: dict, streams: dict) -> tuple[np.ndarray, np.ndarray]:
         pos += len(blk)
     assert pos == n_emit and n1 == half and n2 == half, \
         "PE streams do not pair up"
-    return file1, file2
+    return full1, full2
