@@ -637,8 +637,10 @@ def realign_probe(ref_flat: np.ndarray, ref_ptr: np.ndarray,
                   sg_codes: np.ndarray, dict_starts: np.ndarray,
                   seg_len: int, thr: int, max_search: int,
                   rc_skip_cost: bool):
-    """Native realign probe (realign.cpp); returns candidate arrays
-    (sg_idx, contig, offset, dir, popcount) in deterministic scan order."""
+    """Native realign probe (realign.cpp); returns winner arrays
+    (sg_idx, contig, offset, dir, popcount) — the best placement per
+    singleton under the claim order (pop, contig, offset, dir), at most one
+    row per singleton, in singleton order."""
     lib = _load()
     if not lib:
         return None
@@ -647,18 +649,17 @@ def realign_probe(ref_flat: np.ndarray, ref_ptr: np.ndarray,
     ref_ptr = np.ascontiguousarray(ref_ptr, np.int64)
     sg_codes = _as_c(sg_codes)
     dict_starts = np.ascontiguousarray(dict_starts, np.int32)
-    cap = max(1 << 16, 8 * n_sg)
-    while True:
-        out = [np.empty(cap, np.int32), np.empty(cap, np.int32),
-               np.empty(cap, np.int32), np.empty(cap, np.int8),
-               np.empty(cap, np.int32)]
-        n = lib.realign_probe(
-            ref_flat.ctypes.data, ref_ptr.ctypes.data, len(ref_ptr) - 1,
-            sg_codes.ctypes.data, n_sg, L,
-            dict_starts.ctypes.data, seg_len, len(dict_starts),
-            thr, max_search, int(rc_skip_cost),
-            out[0].ctypes.data, out[1].ctypes.data, out[2].ctypes.data,
-            out[3].ctypes.data, out[4].ctypes.data, cap)
-        if n < cap:
-            return tuple(o[:n] for o in out)
-        cap *= 4
+    cap = max(1, n_sg)
+    out = [np.empty(cap, np.int32), np.empty(cap, np.int32),
+           np.empty(cap, np.int32), np.empty(cap, np.int8),
+           np.empty(cap, np.int32)]
+    n = lib.realign_probe(
+        ref_flat.ctypes.data, ref_ptr.ctypes.data, len(ref_ptr) - 1,
+        sg_codes.ctypes.data, n_sg, L,
+        dict_starts.ctypes.data, seg_len, len(dict_starts),
+        thr, max_search, int(rc_skip_cost),
+        out[0].ctypes.data, out[1].ctypes.data, out[2].ctypes.data,
+        out[3].ctypes.data, out[4].ctypes.data, cap)
+    if n < 0:
+        raise RuntimeError("realign_probe failed")
+    return tuple(o[:n] for o in out)

@@ -152,10 +152,11 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
             cand_sg, cand_cl, cand_off, cand_dir, cand_pop = (
                 x.astype(np.int64) if x.dtype != np.int8 else x
                 for x in probe)
-            # duplicates (same placement via several dictionaries) need no
-            # dedupe pass: the claim lexsort below keeps exactly one entry
-            # per read, and duplicate rows are identical in every key, so
-            # they can never change which placement wins
+            # the native probe already reduced to the best placement per
+            # read under the claim order (realign.cpp r05); the lexsort
+            # below is then tiny — and on multi-rank runs it picks the
+            # global winner among the per-rank (disjoint contig range)
+            # winners, which equals the winner over the full candidate set
         else:  # pure-Python environment: vectorized numpy reference path
             sg_words = pack_2bit_words(sgc)             # [S, W]
             dicts = [SortedKeyDict(_pack_key(sgc, s, e - s + 1))
