@@ -18,6 +18,10 @@ through a named backend:
 * "trans" — ON-CHIP interleaved rANS (entropy/device_rans.py): order-0
             static-table coder as a 128-lane lax.scan program; the device
             path for local-TPU deployments (SURVEY §7 step 8),
+* "trans1"/"trans2" — ON-CHIP context-modeled rANS (device_ctx_rans.py):
+            static per-block tables over the used-byte alphabet conditioned
+            on the previous 1/2 symbols, chunked lanes so contexts are true
+            sequential windows; beats host o2rc on the diff streams (r05),
 * "bz2" / "zlib" / "store" — stdlib alternatives.
 
 Any codec may be prefixed "pK:" (K in 2,4,8): the stream is treated as an
@@ -83,6 +87,12 @@ def compress(name: str, data: bytes) -> bytes:
     if base == "trans":
         from minicom_tpu.entropy import device_rans
         return device_rans.compress(data)
+    if base in ("trans1", "trans2"):
+        from minicom_tpu.entropy import device_ctx_rans
+        return device_ctx_rans.compress(data, k=int(base[-1]))
+    if base == "dzt":
+        from minicom_tpu.entropy import device_ctx_rans
+        return device_ctx_rans.compress_dz(data)
     raise ValueError(f"unknown codec {name!r}")
 
 
@@ -105,6 +115,12 @@ def decompress(name: str, data: bytes, raw_len: int) -> bytes:
     elif base == "trans":
         from minicom_tpu.entropy import device_rans
         out = device_rans.decompress(data)
+    elif base in ("trans1", "trans2"):
+        from minicom_tpu.entropy import device_ctx_rans
+        out = device_ctx_rans.decompress(data)
+    elif base == "dzt":
+        from minicom_tpu.entropy import device_ctx_rans
+        out = device_ctx_rans.decompress_dz(data)
     else:
         raise ValueError(f"unknown codec {name!r}")
     return _interleave(out, stride)
@@ -113,7 +129,7 @@ def decompress(name: str, data: bytes, raw_len: int) -> bytes:
 def available(name: str) -> bool:
     """Whether a codec can run in this environment (native lib may be
     missing for the range-coder family; everything else is stdlib)."""
-    if _split(name)[1] in _RC_FAMILIES:
+    if _split(name)[1] in _RC_FAMILIES + ("dzt",):
         from minicom_tpu import native
         return native.has_native()
     return True

@@ -1,0 +1,354 @@
+"""Context-modeled on-chip rANS — the order-k companion to the order-0
+codec in device_rans.py (VERDICT r04 missing #3; BASELINE north star: the
+residual streams FEED an on-chip entropy stage, minicom:115-148 analogue).
+
+Model: static per-block tables conditioned on the previous k symbols over a
+REMAPPED alphabet (the used byte values; DNA streams pass alphabet size 4
+with 2-bit symbols). Measured on the 5M-read bench streams (r05):
+
+* diff text (16 used symbols, k=2):   7.83 MB vs host o2rc 8.06 MB
+* dz literals (A=4, k=4):             ~2.00 b/base vs blocked dnarc 2.112
+* dpos byte planes (A~200, k=1):      within ~15% of host o1rc
+
+Layout per block (little-endian):
+  u8 version=2  u8 log2(LANES)  u8 k  u8 pad
+  u16 M (=4096) u16 A           u64 n_symbols
+  u8  alphabet[A]               (byte value of each symbol id)
+  u16 freq[A^k, A]              (quantized to sum M per used context)
+  u32 state[LANES]  u32 words_per_lane[LANES]
+  u16 lane streams, concatenated in lane order
+
+Lanes own CONTIGUOUS chunks (lane l codes symbols [l*T, (l+1)*T)), so each
+lane's context is the true previous-k window — unlike the order-0 codec's
+strided interleave — and the decoder carries per-lane contexts through the
+same lax.scan shape: step t decodes symbol t of every chunk with one table
+gather. Context resets at chunk starts (k symbols of partial context per
+lane; with T >= 2^15 per lane the boundary cost is noise).
+
+The requested k degrades automatically until the dense table A^k * A fits
+kTableCap — the actual k ships in the header, so decode never guesses.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from minicom_tpu.entropy.device_rans import LANES, M, M_BITS, RANS_L, _wtier
+
+_VERSION = 2
+BLOCK = 1 << 22            # symbols per block
+kTableCap = 128 << 10      # max dense freq-table bytes per block
+
+
+def _feasible_k(A: int, k: int) -> int:
+    while k > 0 and (A ** k) * A * 2 > kTableCap:
+        k -= 1
+    return k
+
+
+def _quantize_rows(cnt: np.ndarray) -> np.ndarray:
+    """[C, A] counts -> [C, A] uint16 frequencies, each USED row summing to
+    exactly M with every present symbol >= 1 (vectorized largest-remainder;
+    unused rows stay zero — decode never gathers them)."""
+    C, A = cnt.shape
+    tot = cnt.sum(axis=1, keepdims=True)
+    used = tot[:, 0] > 0
+    q = np.zeros((C, A), np.int64)
+    if not used.any():
+        return q.astype(np.uint16)
+    cu = cnt[used].astype(np.float64)
+    tu = cu.sum(axis=1, keepdims=True)
+    scaled = cu * M / tu
+    qu = np.floor(scaled).astype(np.int64)
+    qu[(cu > 0) & (qu == 0)] = 1
+    # hand the per-row deficit to the largest remainders (ties: lower symbol)
+    deficit = M - qu.sum(axis=1)
+    rem = scaled - np.floor(scaled)
+    rem[cu == 0] = -1.0
+    order = np.argsort(-rem, axis=1, kind="stable")
+    ranks = np.empty_like(order)
+    np.put_along_axis(ranks, order, np.broadcast_to(np.arange(A),
+                                                    order.shape).copy(), 1)
+    qu += ranks < deficit[:, None]
+    # rows can also overshoot (many forced 1s): take from largest entries
+    for _ in range(2):
+        over = qu.sum(axis=1) - M
+        bad = over > 0
+        if not bad.any():
+            break
+        rows = np.flatnonzero(bad)
+        for r in rows:     # rare: rows with > M/2 forced-present symbols
+            need = int(over[r])
+            while need > 0:
+                i = int(np.argmax(qu[r]))
+                take = min(need, int(qu[r, i]) - 1)
+                if take <= 0:
+                    raise ValueError("cannot quantize: too many symbols")
+                qu[r, i] -= take
+                need -= take
+    q[used] = qu
+    return q.astype(np.uint16)
+
+
+def _ctx_grid(sym_grid: np.ndarray, k: int, A: int) -> np.ndarray:
+    """[T, LANES] symbol ids -> [T, LANES] int32 contexts (previous k
+    symbols of the SAME lane chunk, oldest in the highest digit; chunk
+    starts pad with symbol 0)."""
+    T = sym_grid.shape[0]
+    ctx = np.zeros((T, LANES), np.int64)
+    for j in range(1, k + 1):
+        prev = np.zeros((T, LANES), np.int64)
+        if T > j:
+            prev[j:] = sym_grid[:-j]
+        ctx += prev * (A ** (j - 1))
+    return ctx.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=32)
+def _encode_program(T: int):
+    import jax
+    import jax.numpy as jnp
+
+    def step(x, fcv):
+        f, c, valid = fcv
+        emit = ((x >> jnp.uint32(20)) >= f) & valid
+        word = jnp.where(emit, x & jnp.uint32(0xFFFF),
+                         jnp.uint32(0)).astype(jnp.uint16)
+        xr = jnp.where(emit, x >> jnp.uint32(16), x)
+        xn = ((xr // f) << jnp.uint32(M_BITS)) | ((xr % f) + c)
+        return jnp.where(valid, xn, x), (emit, word)
+
+    def encode(f_g, c_g, valid):
+        """Per-slot frequencies/cumulations (already gathered host-side from
+        the context tables) -> states + compacted emission words."""
+        f = jnp.maximum(f_g, jnp.uint32(1))
+        x0 = jnp.full((LANES,), RANS_L, jnp.uint32)
+        x, (emit, word) = jax.lax.scan(step, x0, (f, c_g, valid),
+                                       reverse=True)
+        counts = emit.sum(axis=0, dtype=jnp.int32)
+        pos = jnp.cumsum(emit.astype(jnp.int32), axis=0) - 1
+        pos = jnp.where(emit, pos, f.shape[0])
+        lane = jnp.broadcast_to(jnp.arange(LANES, dtype=jnp.int32), pos.shape)
+        out = jnp.zeros((f.shape[0] + 1, LANES), jnp.uint16)
+        out = out.at[pos, lane].set(word)
+        return x, out[: f.shape[0]], counts
+
+    return jax.jit(encode)
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_program(T: int, k: int, A: int):
+    import jax
+    import jax.numpy as jnp
+    C = A ** k
+    Ci = jnp.int32(C if C else 1)
+    Ai = jnp.int32(A)
+
+    def decode(states, words, valid, freq, cum, slot_sym):
+        """freq/cum: [C*A] u32 flat; slot_sym: [C*M] u8 flat. The scan
+        carries (state, word ptr, context) per lane; contexts advance by
+        ctx' = (ctx*A + sym) mod A^k."""
+        W = words.shape[0]
+        lanes_iota = jnp.arange(LANES)
+
+        def step(carry, v):
+            x, ptr, ctx = carry
+            slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
+            s = slot_sym[ctx * jnp.int32(M) + slot].astype(jnp.int32)
+            f = freq[ctx * Ai + s]
+            c = cum[ctx * Ai + s]
+            xn = f * (x >> jnp.uint32(M_BITS)) \
+                + slot.astype(jnp.uint32) - c
+            need = (xn < jnp.uint32(RANS_L)) & v
+            nxt = words[jnp.minimum(ptr, W - 1), lanes_iota].astype(jnp.uint32)
+            xn = jnp.where(need, (xn << jnp.uint32(16)) | nxt, xn)
+            ptr = ptr + need.astype(jnp.int32)
+            ctx_n = (ctx * Ai + s) % Ci
+            return ((jnp.where(v, xn, x), ptr,
+                     jnp.where(v, ctx_n, ctx)),
+                    s.astype(jnp.uint8))
+
+        ptr0 = jnp.zeros((LANES,), jnp.int32)
+        ctx0 = jnp.zeros((LANES,), jnp.int32)
+        (_, _, _), syms = jax.lax.scan(step, (states, ptr0, ctx0), valid,
+                                       length=T)
+        return syms
+
+    return jax.jit(decode)
+
+
+def _tier_chunk(T: int) -> int:
+    t = 256
+    while t < T:
+        t <<= 1
+    return t
+
+
+def _encode_block(syms: np.ndarray, A: int, alphabet: np.ndarray,
+                  k: int) -> bytes:
+    import jax.numpy as jnp
+    n = len(syms)
+    k = _feasible_k(A, k)
+    C = A ** k
+    T = _tier_chunk(max(1, -(-n // LANES)))
+    pad = T * LANES - n
+    if pad:
+        syms = np.concatenate([syms, np.zeros(pad, syms.dtype)])
+    grid = syms.reshape(LANES, T).T.astype(np.int32)    # chunked lanes
+    ctx = _ctx_grid(grid, k, A)
+    valid = (np.arange(T * LANES).reshape(LANES, T).T < n)
+    cnt = np.bincount((ctx.astype(np.int64) * A + grid).reshape(-1)[
+        valid.reshape(-1)], minlength=C * A).reshape(C, A)
+    freq = _quantize_rows(cnt)
+    cum = np.zeros((C, A), np.int64)
+    cum[:, 1:] = np.cumsum(freq[:, :-1], axis=1)
+    # per-slot gathers done host-side for encode (symbols are known)
+    flat = ctx.astype(np.int64) * A + grid
+    f_g = jnp.asarray(freq.reshape(-1)[flat].astype(np.uint32))
+    c_g = jnp.asarray(cum.reshape(-1)[flat].astype(np.uint32))
+    states, words, wcounts = _encode_program(T)(f_g, c_g, jnp.asarray(valid))
+    states = np.asarray(states)
+    words = np.asarray(words)
+    wcounts = np.asarray(wcounts)
+    head = (bytes([_VERSION, LANES.bit_length() - 1, k, 0])
+            + np.array([M, A], "<u2").tobytes()
+            + np.array([n], "<u8").tobytes()
+            + alphabet.astype(np.uint8).tobytes()
+            + freq.astype("<u2").tobytes()
+            + states.astype("<u4").tobytes()
+            + wcounts.astype("<u4").tobytes())
+    lanes_bytes = b"".join(words[: wcounts[l], l].astype("<u2").tobytes()
+                           for l in range(LANES))
+    return head + lanes_bytes
+
+
+def _decode_block(blob: memoryview) -> tuple[np.ndarray, np.ndarray, int]:
+    """Returns (symbol ids, alphabet, bytes consumed)."""
+    import jax.numpy as jnp
+    if blob[0] != _VERSION or (1 << blob[1]) != LANES:
+        raise ValueError("ctx-trans stream: bad block header")
+    k = blob[2]
+    off = 4
+    m, A = np.frombuffer(blob, "<u2", 2, off)
+    off += 4
+    if m != M:
+        raise ValueError(f"ctx-trans stream: table size {m} != {M}")
+    A = int(A)
+    C = A ** k
+    n = int(np.frombuffer(blob, "<u8", 1, off)[0]); off += 8
+    alphabet = np.frombuffer(blob, np.uint8, A, off).copy(); off += A
+    freq = np.frombuffer(blob, "<u2", C * A, off).reshape(C, A).copy()
+    off += 2 * C * A
+    states = np.frombuffer(blob, "<u4", LANES, off).copy(); off += 4 * LANES
+    wcounts = np.frombuffer(blob, "<u4", LANES, off).astype(np.int64)
+    off += 4 * LANES
+    total_words = int(wcounts.sum())
+    flat = np.frombuffer(blob, "<u2", total_words, off)
+    off += 2 * total_words
+    T = _tier_chunk(max(1, -(-n // LANES)))
+    W = _wtier(max(1, int(wcounts.max()) if len(wcounts) else 1))
+    words = np.zeros((W, LANES), np.uint16)
+    starts = np.concatenate([[0], np.cumsum(wcounts)])
+    for l in range(LANES):
+        words[: wcounts[l], l] = flat[starts[l]: starts[l + 1]]
+    cum = np.zeros((C, A), np.int64)
+    cum[:, 1:] = np.cumsum(freq[:, :-1], axis=1)
+    slot_sym = np.zeros((C, M), np.uint8)
+    counts = freq.astype(np.int64)
+    for c in np.flatnonzero(counts.sum(axis=1) > 0):
+        slot_sym[c] = np.repeat(np.arange(A, dtype=np.uint8), counts[c])
+    valid = (np.arange(T * LANES).reshape(LANES, T).T < n)
+    syms = _decode_program(T, k, A)(
+        jnp.asarray(states.astype(np.uint32)), jnp.asarray(words),
+        jnp.asarray(valid),
+        jnp.asarray(freq.reshape(-1).astype(np.uint32)),
+        jnp.asarray(cum.reshape(-1).astype(np.uint32)),
+        jnp.asarray(slot_sym.reshape(-1)))
+    grid = np.asarray(syms)                      # [T, LANES]
+    out = grid.T.reshape(-1)[:n]                 # chunked lanes -> stream
+    return out, alphabet, off
+
+
+def compress(data: bytes, k: int = 2) -> bytes:
+    """Byte stream -> framed context-rANS blocks (alphabet = used bytes)."""
+    buf = np.frombuffer(data, np.uint8)
+    alphabet = np.unique(buf) if len(buf) else np.zeros(1, np.uint8)
+    if len(alphabet) == 0:
+        alphabet = np.zeros(1, np.uint8)
+    remap = np.zeros(256, np.uint8)
+    remap[alphabet] = np.arange(len(alphabet), dtype=np.uint8)
+    syms = remap[buf]
+    parts = [np.array([len(buf)], "<u8").tobytes()]
+    for i in range(0, max(len(syms), 1), BLOCK):
+        blk = syms[i: i + BLOCK]
+        al = alphabet
+        parts.append(_encode_block(blk, len(al), al, k))
+        if len(syms) == 0:
+            break
+    return b"".join(parts)
+
+
+def decompress(blob: bytes) -> bytes:
+    n = int(np.frombuffer(blob, "<u8", 1)[0])
+    off = 8
+    out = []
+    got = 0
+    mv = memoryview(blob)
+    while got < n:
+        syms, alphabet, used = _decode_block(mv[off:])
+        out.append(alphabet[syms])
+        got += len(syms)
+        off += used
+    if got != n:
+        raise ValueError(
+            f"ctx-trans stream: decoded {got} symbols, header says {n}")
+    return b"".join(s.tobytes() for s in out)
+
+
+# ---- dzt: dz LZ transform + fully on-chip entropy --------------------------
+#
+# The dz matcher (native/dnalz.cpp) strips the long fwd/rc repeats; BOTH
+# residual streams then go through the device rANS — token byte planes with
+# order-1 contexts, literal BASES with order-4 contexts. This is the archive
+# configuration where the entropy stage runs on the TPU (BASELINE north
+# star; the host `dz` codec is the bit-compatible-in-spirit host twin).
+#
+# Layout: u8 'Z' u8 version=1 | u64 raw_len | u32 n_tokens | u64 n_lit_bytes
+#         u64 clen_tok | tok ctx-rANS blob | lit ctx-rANS blob (rest)
+
+def compress_dz(data: bytes) -> bytes:
+    from minicom_tpu import native
+    parts = native.dz_encode_parts(data)
+    if parts is None:
+        raise RuntimeError("native dz matcher unavailable")
+    tok, nt, lit_packed = parts
+    tok_blob = compress(tok, k=1)
+    lit_codes = np.stack([(np.frombuffer(lit_packed, np.uint8)
+                           >> (2 * i)) & 3 for i in range(4)],
+                         axis=-1).reshape(-1).astype(np.uint8)
+    lit_blob = compress(lit_codes.tobytes(), k=4)
+    head = (b"Z\x01" + np.array([len(data)], "<u8").tobytes()
+            + np.array([nt], "<u4").tobytes()
+            + np.array([len(lit_packed)], "<u8").tobytes()
+            + np.array([len(tok_blob)], "<u8").tobytes())
+    return head + tok_blob + lit_blob
+
+
+def decompress_dz(blob: bytes) -> bytes:
+    from minicom_tpu import native
+    if blob[:2] != b"Z\x01":
+        raise ValueError("dzt stream: bad magic")
+    raw_len = int(np.frombuffer(blob, "<u8", 1, 2)[0])
+    nt = int(np.frombuffer(blob, "<u4", 1, 10)[0])
+    nlit = int(np.frombuffer(blob, "<u8", 1, 14)[0])
+    ctok = int(np.frombuffer(blob, "<u8", 1, 22)[0])
+    tok = decompress(blob[30:30 + ctok])
+    lit_codes = np.frombuffer(decompress(blob[30 + ctok:]), np.uint8)
+    if len(lit_codes) != nlit * 4:
+        raise ValueError("dzt stream: literal length mismatch")
+    c = lit_codes.reshape(-1, 4).astype(np.uint16)
+    lit_packed = (c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4)
+                  | (c[:, 3] << 6)).astype(np.uint8).tobytes()
+    return native.dz_decode_parts(tok, nt, lit_packed, raw_len)

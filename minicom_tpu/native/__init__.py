@@ -83,6 +83,15 @@ def _load():
         lib.dz_decode.restype = ctypes.c_int64
         lib.dz_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                   ctypes.c_void_p, ctypes.c_int64]
+        lib.dz_encode_parts.restype = ctypes.c_int64
+        lib.dz_encode_parts.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_void_p, ctypes.c_void_p]
+        lib.dz_decode_parts.restype = ctypes.c_int64
+        lib.dz_decode_parts.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_void_p, ctypes.c_int64]
         lib.rc_encode_blocked.restype = ctypes.c_int64
         lib.rc_encode_blocked.argtypes = [ctypes.c_int, ctypes.c_void_p,
                                           ctypes.c_int64, ctypes.c_int64,
@@ -417,6 +426,46 @@ def dz_decode(data: bytes, raw_len: int) -> bytes:
     r = lib.dz_decode(buf.ctypes.data, len(buf), out.ctypes.data, raw_len)
     if r != raw_len:
         raise ValueError("dz: corrupt stream")
+    return out.tobytes()
+
+
+def dz_encode_parts(data: bytes):
+    """Run the dz matcher only: returns (token_planes bytes, n_tokens,
+    packed_literal bytes) with no entropy coding — the split transform for
+    the on-chip literal path (codec 'dzt'). None if native unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    nb = len(buf) * 4
+    tok_cap = 12 * (nb // 32 + 2)
+    lit_cap = len(buf) + 8
+    tok = np.empty(tok_cap, np.uint8)
+    lit = np.empty(lit_cap, np.uint8)
+    nt = ctypes.c_int64()
+    nlit = ctypes.c_int64()
+    r = lib.dz_encode_parts(buf.ctypes.data, len(buf),
+                            tok.ctypes.data, tok_cap,
+                            lit.ctypes.data, lit_cap,
+                            ctypes.byref(nt), ctypes.byref(nlit))
+    if r < 0:
+        raise RuntimeError("dz_encode_parts: buffer sizing bug")
+    return (tok[: 12 * nt.value].tobytes(), nt.value,
+            lit[: nlit.value].tobytes())
+
+
+def dz_decode_parts(tok: bytes, nt: int, lit_packed: bytes,
+                    raw_len: int) -> bytes:
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native dz codec unavailable")
+    tb = np.frombuffer(tok, np.uint8)
+    lb = np.frombuffer(lit_packed, np.uint8)
+    out = np.empty(raw_len, np.uint8)
+    r = lib.dz_decode_parts(tb.ctypes.data, nt, lb.ctypes.data, len(lb),
+                            out.ctypes.data, raw_len)
+    if r != raw_len:
+        raise ValueError("dzt: corrupt stream")
     return out.tobytes()
 
 

@@ -9,8 +9,9 @@ from minicom_tpu import native
 
 
 @pytest.mark.parametrize("codec", ["xz", "bz2", "zlib", "store", "o1rc",
-                                   "o2rc", "dnarc", "dz", "p2:o1rc", "p4:xz",
-                                   "p2:dnarc"])
+                                   "o2rc", "dnarc", "dz", "dzt", "trans1",
+                                   "trans2", "p2:o1rc", "p4:xz",
+                                   "p2:dnarc", "p2:trans1"])
 def test_backend_roundtrip(rng, codec):
     data = bytes(rng.integers(0, 64, size=10000, dtype=np.uint8)) + b"0\n" * 500
     blob = backend.compress(codec, data)
@@ -53,6 +54,42 @@ def test_dz_dedupes_fwd_and_rc_repeats(rng):
     corrupt = bytes([blob[0] ^ 0xFF]) + blob[1:]
     with pytest.raises(ValueError):
         backend.decompress("dz", corrupt, len(data))
+
+
+def test_ctx_trans_models_context(rng):
+    """The on-chip context rANS (device_ctx_rans.py) must beat its own
+    order-0 sibling on markov-structured data, and the k it ships degrades
+    when the dense table would not fit (big alphabets)."""
+    # order-1 structure over a 16-symbol alphabet: next symbol = prev +- 1
+    n = 60000
+    steps = rng.integers(-1, 2, n).cumsum() % 16
+    data = (steps + 48).astype(np.uint8).tobytes()
+    b0 = backend.compress("trans", data)
+    b1 = backend.compress("trans1", data)
+    assert backend.decompress("trans1", b1, len(data)) == data
+    assert len(b1) < 0.75 * len(b0)
+    # alphabet ~250: trans2's dense A^2*A table cannot fit -> degrades, but
+    # must still roundtrip
+    big = bytes(rng.integers(0, 250, 50000, dtype=np.uint8))
+    b2 = backend.compress("trans2", big)
+    assert backend.decompress("trans2", b2, len(big)) == big
+
+
+def test_dzt_matches_dz_transform(rng):
+    """dzt (dz matcher + fully on-chip entropy) reconstructs exactly and
+    stays size-competitive with host dz on repeat-heavy packed DNA."""
+    seq = rng.integers(0, 4, 120000, dtype=np.uint8)
+    full = np.concatenate([seq, (3 - seq)[::-1],
+                           rng.integers(0, 4, 40000, dtype=np.uint8)])
+    packed = np.zeros((len(full) + 3) // 4, np.uint8)
+    for i in range(4):
+        part = full[i::4]
+        packed[: len(part)] |= part << (2 * i)
+    data = packed.tobytes()
+    bz = backend.compress("dz", data)
+    bt = backend.compress("dzt", data)
+    assert backend.decompress("dzt", bt, len(data)) == data
+    assert len(bt) < 1.25 * len(bz)
 
 
 def test_o1rc_compresses_structured(rng):
