@@ -205,13 +205,19 @@ def _encode_block(syms: np.ndarray, A: int, alphabet: np.ndarray,
     cum = np.zeros((C, A), np.int64)
     cum[:, 1:] = np.cumsum(freq[:, :-1], axis=1)
     # per-slot gathers done host-side for encode (symbols are known)
+    import time as _time
+    from minicom_tpu.parallel import mesh as _mesh
     flat = ctx.astype(np.int64) * A + grid
+    t0 = _time.perf_counter()
     f_g = jnp.asarray(freq.reshape(-1)[flat].astype(np.uint32))
     c_g = jnp.asarray(cum.reshape(-1)[flat].astype(np.uint32))
     states, words, wcounts = _encode_program(T)(f_g, c_g, jnp.asarray(valid))
     states = np.asarray(states)
     words = np.asarray(words)
     wcounts = np.asarray(wcounts)
+    _mesh._account(_time.perf_counter() - t0,
+                   f_g.nbytes + c_g.nbytes + valid.size
+                   + words.nbytes + states.nbytes)
     head = (bytes([_VERSION, LANES.bit_length() - 1, k, 0])
             + np.array([M, A], "<u2").tobytes()
             + np.array([n], "<u8").tobytes()
@@ -260,6 +266,9 @@ def _decode_block(blob: memoryview) -> tuple[np.ndarray, np.ndarray, int]:
     for c in np.flatnonzero(counts.sum(axis=1) > 0):
         slot_sym[c] = np.repeat(np.arange(A, dtype=np.uint8), counts[c])
     valid = (np.arange(T * LANES).reshape(LANES, T).T < n)
+    import time as _time
+    from minicom_tpu.parallel import mesh as _mesh
+    t0 = _time.perf_counter()
     syms = _decode_program(T, k, A)(
         jnp.asarray(states.astype(np.uint32)), jnp.asarray(words),
         jnp.asarray(valid),
@@ -267,6 +276,8 @@ def _decode_block(blob: memoryview) -> tuple[np.ndarray, np.ndarray, int]:
         jnp.asarray(cum.reshape(-1).astype(np.uint32)),
         jnp.asarray(slot_sym.reshape(-1)))
     grid = np.asarray(syms)                      # [T, LANES]
+    _mesh._account(_time.perf_counter() - t0,
+                   words.nbytes + valid.size + slot_sym.size + grid.nbytes)
     out = grid.T.reshape(-1)[:n]                 # chunked lanes -> stream
     return out, alphabet, off
 

@@ -198,12 +198,17 @@ def _encode_block(syms: np.ndarray) -> bytes:
         syms = np.concatenate([syms, np.zeros(pad, np.uint8)])
     freq_q = quantize_freqs(counts)
     freq_d, cum_d, _ = _tables(freq_q)
+    import time as _time
+    from minicom_tpu.parallel import mesh as _mesh
+    t0 = _time.perf_counter()
     grid = jnp.asarray(syms.reshape(T, LANES))
     valid = jnp.asarray((np.arange(T * LANES) < n).reshape(T, LANES))
     states, words, wcounts = _encode_program(T)(grid, valid, freq_d, cum_d)
     states = np.asarray(states)
     words = np.asarray(words)
     wcounts = np.asarray(wcounts)
+    _mesh._account(_time.perf_counter() - t0,
+                   grid.nbytes + grid.size + words.nbytes + states.nbytes)
     head = (bytes([_VERSION, LANES.bit_length() - 1])
             + np.array([M], "<u2").tobytes()
             + np.array([n], "<u8").tobytes()
@@ -242,11 +247,17 @@ def _decode_block(blob: bytes | memoryview) -> tuple[np.ndarray, int]:
     for l in range(LANES):
         words[: wcounts[l], l] = flat[starts[l]: starts[l + 1]]
     freq_d, cum_d, slot_d = _tables(freq_q)
+    import time as _time
+    from minicom_tpu.parallel import mesh as _mesh
+    t0 = _time.perf_counter()
     valid = jnp.asarray((np.arange(T * LANES) < n).reshape(T, LANES))
     syms = _decode_program(T)(jnp.asarray(states.astype(np.uint32)),
                               jnp.asarray(words), valid,
                               freq_d, cum_d, slot_d)
-    return np.asarray(syms).reshape(-1)[:n], off
+    out = np.asarray(syms)
+    _mesh._account(_time.perf_counter() - t0,
+                   words.nbytes + valid.size + out.nbytes)
+    return out.reshape(-1)[:n], off
 
 
 def compress(data: bytes) -> bytes:

@@ -71,6 +71,27 @@ _AUTO: Dict[str, list] = {
 }
 _AUTO_DEFAULT = ["xz", "o1rc"]
 
+# codec="device": every stream through the ON-CHIP rANS family
+# (device_rans/device_ctx_rans; dzt = dz LZ transform + on-chip residual
+# coding) — the archive configuration for a local-TPU deployment where the
+# entropy stage runs on the chip (BASELINE north star). "store" guards
+# streams the static-table coders lose (measured CODECS_r05.json:
+# device archive = 1.012x the host-auto archive on the 5M bench).
+_DEVICE_AUTO: Dict[str, list] = {
+    "ref": ["dzt"],
+    "single": ["dzt", "trans1"],
+    "diff": ["trans2", "trans1"],
+    "nsingle": ["trans2", "trans1"],
+    "aa": ["trans2", "trans1"],
+    "tt": ["trans2", "trans1"],
+    "nn": ["trans2", "trans1"],
+    "cnt": ["p4:trans1"],
+    "dpos": ["p2:trans1"],
+    "dposx": ["p4:trans1"],
+    "ids": ["p4:trans1"],
+    "peids": ["p4:trans1"],
+}
+
 # Above this raw size, xz -9e trial-encodes cost more wall-time than they
 # save bytes (measured: ~2% smaller at 6-15x the time on the integer planes,
 # and the rc coders already win the big DNA/diff streams) — drop the xz
@@ -78,8 +99,10 @@ _AUTO_DEFAULT = ["xz", "o1rc"]
 _TRIAL_MAX = 1 << 19
 
 
-def _auto_candidates(name: str, rlen: int = 0) -> list:
+def _auto_candidates(name: str, rlen: int = 0, table: str = "auto") -> list:
     key = "ids" if name.startswith("ids_") else name
+    if table == "device":
+        return _DEVICE_AUTO.get(key, ["trans1"]) + ["store"]
     cands = _AUTO.get(key, _AUTO_DEFAULT)
     if rlen > _TRIAL_MAX:
         no_xz = [c for c in cands if not c.endswith("xz")]
@@ -100,8 +123,9 @@ def write_container(path: str, meta: dict, streams: Dict[str, bytes],
 
     def encode_one(name: str) -> tuple[str, bytes]:
         raw = streams[name]
-        if codec == "auto":
-            return backend.best_of(_auto_candidates(name, len(raw)), raw)
+        if codec in ("auto", "device"):
+            return backend.best_of(
+                _auto_candidates(name, len(raw), codec), raw)
         return codec, backend.compress(codec, raw)
 
     from minicom_tpu.parallel import distributed as dist
@@ -230,5 +254,30 @@ def read_container(path: str, stats: dict | None = None
             stats[f"entropy_{ent['name']}_info"] = (
                 f"{ent['codec']}:{ent['rlen']}B")
         return ent["name"], raw
+
+    # multi-process: entropy decode shards over contiguous stream ranges
+    # weighted by raw size (mirror of write_container's encode sharding,
+    # VERDICT r04 missing #7); raw streams reassemble by ordered all-gather
+    from minicom_tpu.parallel import distributed as dist
+    _, nproc = dist.process_grid()
+    ents = meta["streams"]
+    if nproc > 1 and len(ents) > 1:
+        lo, hi = dist.my_partition(
+            np.array([e["rlen"] for e in ents], np.int64))
+        mine = list(_pool().map(decode_one, ents[lo:hi]))
+        payload = b"".join(
+            struct.pack("<Q", len(raw)) + raw for _, raw in mine)
+        merged = dist.allgather_ragged(
+            np.frombuffer(payload, np.uint8)).tobytes()
+        streams = {}
+        pos = 0
+        for e in ents:
+            (blen,) = struct.unpack_from("<Q", merged, pos)
+            pos += 8
+            streams[e["name"]] = merged[pos:pos + blen]
+            pos += blen
+        if len(streams) != len(ents):
+            raise ValueError(f"{path}: sharded stream decode mismatch")
+        return meta, streams
 
     return meta, dict(_pool().map(decode_one, meta["streams"]))

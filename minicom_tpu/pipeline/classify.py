@@ -75,10 +75,52 @@ class Classified:
 _CHUNK = 1 << 20   # reads per classify block (bounds transient count arrays)
 
 
-def classify(codes: np.ndarray, cfg: ResolvedConfig) -> Classified:
-    """codes: [N, L] uint8 with N=4. Substitutes IN PLACE (the caller's
-    matrix becomes codes_sub — the pipeline's single resident read store;
-    a second [N, L] copy would double peak memory on GB-scale inputs)."""
+def classify(codes, cfg: ResolvedConfig) -> Classified:
+    """codes: [N, L] uint8 with N=4, or a ShardedReadStore. Substitutes IN
+    PLACE (the caller's matrix becomes codes_sub — the pipeline's single
+    resident read store; a second [N, L] copy would double peak memory on
+    GB-scale inputs).
+
+    Sharded store: each rank classifies its OWN row slice, then the (small)
+    per-class rid lists, has_n flags and sparse N positions reassemble with
+    ordered all-gathers — rank order is ascending-rid order, so the result
+    is byte-identical to the unsharded pass."""
+    from minicom_tpu.parallel.store import ShardedReadStore
+    if isinstance(codes, ShardedReadStore):
+        local = _classify_core(codes.local, cfg, rid0=codes.r0)
+        from minicom_tpu.parallel import distributed as dist
+        keys = ["all_a", "all_t", "all_n", "near_a", "near_t", "mostly_n",
+                "nfile", "pool"]
+        g = dist.allgather_ragged_many(
+            [local[k] for k in keys]
+            + [local["has_n"].view(np.uint8), local["nz_rows"],
+               local["nz_cols"]])
+        lists = dict(zip(keys, g[:8]))
+        has_n = g[8].view(bool)
+        rows, cols = g[9], g[10]
+        n_mask = _build_sparse(codes.L, has_n, rows, cols)
+        return Classified(codes_sub=codes, has_n=has_n, n_mask=n_mask,
+                          **lists)
+    local = _classify_core(codes, cfg, rid0=0)
+    n_mask = _build_sparse(codes.shape[1], local["has_n"],
+                           local["nz_rows"], local["nz_cols"])
+    keys = ["all_a", "all_t", "all_n", "near_a", "near_t", "mostly_n",
+            "nfile", "pool"]
+    return Classified(codes_sub=codes, has_n=local["has_n"], n_mask=n_mask,
+                      **{k: local[k] for k in keys})
+
+
+def _build_sparse(L, has_n, rows, cols) -> SparseNMask:
+    nz_rids = np.unique(rows)
+    per = np.searchsorted(rows, nz_rids, side="right") \
+        - np.searchsorted(rows, nz_rids, side="left")
+    ptr = np.zeros(len(nz_rids) + 1, np.int64)
+    np.cumsum(per, out=ptr[1:])
+    return SparseNMask(L, has_n, nz_rids, ptr, cols)
+
+
+def _classify_core(codes: np.ndarray, cfg: ResolvedConfig,
+                   rid0: int = 0) -> dict:
     n, L = codes.shape
     e = cfg.diff_threshold
     masks = {k: np.zeros(n, bool) for k in
@@ -119,7 +161,7 @@ def classify(codes: np.ndarray, cfg: ResolvedConfig) -> Classified:
         # (kthread_reads.c:182-205; tie priority A,T,G,C)
         r, c = np.nonzero(blk == 4)
         if len(r):
-            npos_rows.append((r + s).astype(np.int64))
+            npos_rows.append((r + s + rid0).astype(np.int64))
             npos_cols.append(c.astype(np.int32))
             maj_order = np.stack([cA, cT, cG, cC])
             maj_idx = np.argmax(maj_order, axis=0)      # 0=A,1=T,2=G,3=C
@@ -132,21 +174,9 @@ def classify(codes: np.ndarray, cfg: ResolvedConfig) -> Classified:
     else:
         rows = np.zeros(0, np.int64)
         cols = np.zeros(0, np.int32)
-    nz_rids = np.unique(rows)
-    per = np.searchsorted(rows, nz_rids, side="right") \
-        - np.searchsorted(rows, nz_rids, side="left")
-    ptr = np.zeros(len(nz_rids) + 1, np.int64)
-    np.cumsum(per, out=ptr[1:])
-    n_mask = SparseNMask(L, has_n, nz_rids, ptr, cols)
-
-    rid = np.arange(n, dtype=np.int64)
-    return Classified(
-        codes_sub=codes, has_n=has_n, n_mask=n_mask,
-        all_a=rid[masks["all_a"]], all_t=rid[masks["all_t"]],
-        all_n=rid[masks["all_n"]], near_a=rid[masks["near_a"]],
-        near_t=rid[masks["near_t"]], mostly_n=rid[masks["mostly_n"]],
-        nfile=rid[masks["nfile"]], pool=rid[masks["pool"]],
-    )
+    rid = np.arange(n, dtype=np.int64) + rid0
+    return {**{k: rid[m] for k, m in masks.items()},
+            "has_n": has_n, "nz_rows": rows, "nz_cols": cols}
 
 
 def restore_n(codes_sub: np.ndarray, n_mask: np.ndarray, rows: np.ndarray) -> np.ndarray:

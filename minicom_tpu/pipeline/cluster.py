@@ -154,6 +154,29 @@ def consensus_from_members(readlen: int, seg_id: np.ndarray, offsets: np.ndarray
     # runs in the native host kernel (consensus.cpp — identical argmax tie
     # rule, identical bytes; the sharded/multichip runs keep the device
     # kernels and the dryrun asserts both paths produce equal archives)
+    from minicom_tpu.parallel.store import ShardedReadStore
+    if isinstance(codes_host, ShardedReadStore):
+        # row-sharded store: gather just MY cluster range's member rows (a
+        # collective exchange; every rank fetches its own disjoint range, so
+        # per-rank transient is ~members/P rows) and count over the local
+        # block with local indices
+        from minicom_tpu import native
+        rows = codes_host.rows(np.asarray(rids[m0:m1], np.int64))
+        res = native.consensus_host(
+            rows,
+            (np.arange(m1 - m0, dtype=np.int64) * 2
+             + dirs[m0:m1]).astype(np.int32),
+            ref_ptr[seg_id[m0:m1]] - col0 + offsets[m0:m1],
+            seg_bounds[s0:s1 + 1] - m0, ref_ptr[s0:s1 + 1] - col0,
+            col1 - col0, want_ref, want_diffs)
+        if res is None:
+            raise RuntimeError(
+                "sharded read store requires the native library")
+        my_ref, my_diffs = res
+        ref_flat = dist.allgather_ragged(my_ref) if want_ref else None
+        diffs = dist.allgather_ragged(my_diffs) if want_diffs else None
+        return ref_flat, ref_ptr, diffs
+
     if codes_host is not None and mesh_active() is None:
         from minicom_tpu import native
         res = native.consensus_host(
@@ -250,6 +273,29 @@ def _sketch(pending: np.ndarray, codes_dev, k: int, L: int,
     (sketch_reads_dyn_gather) so ALL k-decreasing rounds share a handful of
     XLA compiles.
     """
+    # row-sharded store: each rank sketches the pending reads IT OWNS (zero
+    # remote row traffic), the results scatter back to pending order by the
+    # exchanged pending-indices — identical output to the contiguous split
+    from minicom_tpu.parallel.store import ShardedReadStore
+    if isinstance(codes_host, ShardedReadStore):
+        from minicom_tpu import native
+        st = codes_host
+        my_idx = np.flatnonzero((pending >= st.r0) & (pending < st.r1))
+        res = native.sketch_reads_host(st.local, pending[my_idx] - st.r0, k)
+        if res is None:
+            raise RuntimeError(
+                "sharded read store requires the native library")
+        idx, khi, klo, pos, strand = dist.allgather_ragged_many(
+            [my_idx, *res])
+        out = [np.empty(len(pending), a.dtype)
+               for a in (khi, klo, pos, strand)]
+        for o, a in zip(out, (khi, klo, pos, strand)):
+            o[idx] = a
+        khi, klo, pos, strand = out
+        key = (khi.astype(np.uint64) << np.uint64(32)) | klo.astype(np.uint64)
+        mpos = np.where(strand == 1, L - pos + k - 2, pos).astype(np.int32)
+        return key, mpos, strand.astype(np.int8)
+
     # multi-process: contiguous slice of the pool per rank, ordered gather
     lo, hi = dist.my_partition(np.ones(len(pending), np.int32))
     mine = pending[lo:hi]
@@ -304,9 +350,13 @@ def cluster_rounds(codes_sub: np.ndarray, pool: np.ndarray, cfg: ResolvedConfig,
     """
     L = codes_sub.shape[1]
     # decide the sketch path once: host-native (no store upload needed at
-    # all on the single-chip topology) vs device-resident store
+    # all on the single-chip topology) vs device-resident store. A row-
+    # sharded multi-host store always takes the host-native kernels (its
+    # point is that no rank holds the full matrix to upload).
+    from minicom_tpu.parallel.store import ShardedReadStore
     from minicom_tpu.pipeline.merge import use_host_sketch
-    if codes_dev is None and not use_host_sketch():
+    if (codes_dev is None and not use_host_sketch()
+            and not isinstance(codes_sub, ShardedReadStore)):
         from minicom_tpu.parallel.mesh import upload_read_store
         codes_dev = upload_read_store(codes_sub)
     K = cfg.k

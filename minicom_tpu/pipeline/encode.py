@@ -57,8 +57,17 @@ class EncodeInput:
     clusters: ClusterSet
 
 
+def _rows(codes_sub, rids: np.ndarray) -> np.ndarray:
+    """Row gather off the read store; identical request lists on every rank
+    (collective on a sharded store — all special-class lists are global)."""
+    from minicom_tpu.parallel.store import ShardedReadStore
+    if isinstance(codes_sub, ShardedReadStore):
+        return codes_sub.rows_all(np.asarray(rids, np.int64))
+    return codes_sub[rids]
+
+
 def _restored_ascii(inp: EncodeInput, rids: np.ndarray) -> np.ndarray:
-    codes = inp.codes_sub[rids].copy()
+    codes = _rows(inp.codes_sub, rids).copy()
     codes[inp.n_mask[rids]] = 4
     return codes_to_ascii(codes)
 
@@ -161,10 +170,16 @@ def serialize(inp: EncodeInput) -> tuple[dict, dict]:
         # all-gather — the diff text is chunk-aligned so concatenation in
         # rank order is byte-identical to the serial pass
         d0, d1 = dist.my_partition(np.ones(cs.n_members, np.int32))
+        # sharded store: fetch ALL of my member range's rows in one
+        # collective (chunked internally) — per-rank transient ~M/P rows
+        from minicom_tpu.parallel.store import ShardedReadStore
+        my_rows = (inp.codes_sub.rows(rid[d0:d1])
+                   if isinstance(inp.codes_sub, ShardedReadStore) else None)
         CH = 1 << 20
         for s in range(d0, d1, CH):
             t = min(s + CH, d1)
-            restored = inp.codes_sub[rid[s:t]]
+            restored = (my_rows[s - d0:t - d0] if my_rows is not None
+                        else inp.codes_sub[rid[s:t]])
             nm = inp.n_mask[rid[s:t]]
             if nm.any():
                 restored = restored.copy()
@@ -200,7 +215,8 @@ def serialize(inp: EncodeInput) -> tuple[dict, dict]:
         [nsingle_ascii.tobytes()[i * L:(i + 1) * L] + b"\n"
          for i in range(len(nfile))]) if len(nfile) else b""
     streams["single"] = pack_2bit(
-        inp.codes_sub[single].reshape(-1)).tobytes() if len(single) else b""
+        _rows(inp.codes_sub, single).reshape(-1)).tobytes() \
+        if len(single) else b""
 
     # ---- ORDER id streams ------------------------------------------------
     if inp.order:

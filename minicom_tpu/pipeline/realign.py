@@ -92,6 +92,17 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
     claimed_total = 0
     big_input = len(sg) > 1_000_000 and L >= 68
 
+    # row-sharded store: materialize the singleton rows ONCE (identical on
+    # every rank — the replicated-dictionary pattern, SURVEY §5; the rows
+    # subset in lockstep with sg as rungs claim reads). The per-rank cost is
+    # O(n_sg * L), a shrinking fraction of the dataset; the FULL store stays
+    # sharded (VERDICT r04 missing #4).
+    from minicom_tpu.parallel.store import ShardedReadStore
+    if isinstance(codes_sub, ShardedReadStore):
+        sgc_all = codes_sub.rows_all(sg)
+    else:
+        sgc_all = None
+
     thr = cfg.diff_threshold
     pop_a = pop_t = None    # per-read base-diff counts vs all-A / all-T:
     prev_thr = -1           # rung-invariant — computed once, subset as sg
@@ -100,11 +111,16 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
         with _sub(stats, "realign_absorb"):
             if pop_a is None:
                 from minicom_tpu import native
-                pops = native.popcounts_at(codes_sub, sg)
+                if sgc_all is not None:
+                    pops = native.popcounts_at(
+                        sgc_all, np.arange(len(sg), dtype=np.int64))
+                else:
+                    pops = native.popcounts_at(codes_sub, sg)
                 if pops is not None:
                     pop_a, pop_t = pops
                 else:
-                    sgc0 = codes_sub[sg]
+                    sgc0 = (sgc_all if sgc_all is not None
+                            else codes_sub[sg])
                     pop_a = popcount_u32(pack_2bit_words(sgc0)).sum(axis=1)
                     pop_t = popcount_u32(pack_2bit_words(3 - sgc0)).sum(axis=1)
                     del sgc0
@@ -121,7 +137,8 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
                 rows = np.flatnonzero(mask)
                 if len(rows) == 0:
                     continue
-                restored = codes_sub[sg[rows]].copy()
+                restored = (sgc_all[rows] if sgc_all is not None
+                            else codes_sub[sg[rows]]).copy()
                 restored[n_mask[sg[rows]]] = 4
                 lens = diff_encode_lengths(
                     np.full((len(rows), L), const[0], np.uint8),
@@ -134,6 +151,8 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
             if absorbed.any():
                 keep = ~absorbed
                 sg, pop_a, pop_t = sg[keep], pop_a[keep], pop_t[keep]
+                if sgc_all is not None:
+                    sgc_all = sgc_all[keep]
         if len(sg) == 0:
             break
 
@@ -144,7 +163,7 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
         # (the all-gathered-dictionary pattern, SURVEY.md §5)
         from minicom_tpu import native
         from minicom_tpu.parallel import distributed as dist
-        sgc = codes_sub[sg]
+        sgc = sgc_all if sgc_all is not None else codes_sub[sg]
         with _sub(stats, "realign_probe"):
             probe = _probe_native_sharded(dist, native, cset, sgc, ranges,
                                           cfg, thr)
@@ -174,7 +193,7 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
                 _probe_and_verify(cset, wflat, wseg, woff, dicts, ranges,
                                   sg_words, L, thr, cfg.max_search)
             if len(cand_sg):
-                ok = _encode_cost_ok(cset, codes_sub, sg, cand_sg, cand_cl,
+                ok = _encode_cost_ok(cset, sgc, cand_sg, cand_cl,
                                      cand_off, cand_dir, thr, L)
                 cand_sg, cand_cl, cand_off, cand_dir, cand_pop = (
                     x[ok] for x in (cand_sg, cand_cl, cand_off, cand_dir,
@@ -196,6 +215,8 @@ def realign_ladder(cset: ClusterSet, sg: np.ndarray, codes_sub: np.ndarray,
                 claimed_total += int(claimed.sum())
                 keep = ~claimed
                 sg, pop_a, pop_t = sg[keep], pop_a[keep], pop_t[keep]
+                if sgc_all is not None:
+                    sgc_all = sgc_all[keep]
 
         # stopping rule (preprocess.c:219-228)
         max_new = 10_000 if big_input else 1_000
@@ -295,11 +316,12 @@ def _probe_and_verify(cset, wflat, wseg, woff, dicts, ranges, sg_words,
     return tuple(r[uniq] for r in res)
 
 
-def _encode_cost_ok(cset, codes_sub, sg, cand_sg, cand_cl, cand_off,
+def _encode_cost_ok(cset, sgc, cand_sg, cand_cl, cand_off,
                     cand_dir, thr, L):
     """encode_byte rule: diff-string length <= 0.4*L. Forward placements are
     always checked; reverse placements only when threshold > 24
-    (kthread_hash_realign.c:393,461)."""
+    (kthread_hash_realign.c:393,461). ``sgc`` = the materialized singleton
+    rows (cand_sg indexes it)."""
     ok = np.ones(len(cand_sg), bool)
     check = (cand_dir == 0) | (thr > 24)
     rows = np.flatnonzero(check)
@@ -311,7 +333,7 @@ def _encode_cost_ok(cset, codes_sub, sg, cand_sg, cand_cl, cand_off,
         win = (cset.ref_ptr[cand_cl[sel]] + cand_off[sel])[:, None] \
             + np.arange(L)[None, :]
         ref_rows = codes_to_ascii(cset.ref_flat[win])
-        codes = codes_sub[sg[cand_sg[sel]]]
+        codes = sgc[cand_sg[sel]]
         rc = revcomp_codes(codes)
         oriented = np.where((cand_dir[sel] == 1)[:, None], rc, codes)
         lens = diff_encode_lengths(ref_rows, codes_to_ascii(oriented), 0)

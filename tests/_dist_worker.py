@@ -19,6 +19,8 @@ def main():
                            process_id=int(pid))
     from minicom_tpu import compressor
     compressor.compress(fq, out)
+    if os.environ.get("MTC_DIST_DECODE") == "1":
+        compressor.decompress(out, out + ".dec")
 
 
 if __name__ == "__main__":

