@@ -29,8 +29,19 @@ def main():
     st = StageStats()
     t0 = time.time()
     compressor.compress(fq, out, cfg, stats=st)
+    encode_s = round(time.time() - t0, 3)
+    dec_s = None
+    if os.environ.get("MTC_SCALE_DECODE") == "1":
+        t0 = time.time()
+        compressor.decompress(out, out + f".dec{pid}" if
+                              os.environ.get("MTC_WRITE_ALL_RANKS") == "1"
+                              else out + ".dec")
+        dec_s = round(time.time() - t0, 3)
+    import resource
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
     print(json.dumps({
-        "pid": int(pid), "encode_s": round(time.time() - t0, 3),
+        "pid": int(pid), "encode_s": encode_s, "decode_s": dec_s,
+        "peak_rss_bytes": rss,
         "stage_s": {k: round(v, 3) for k, v in st.timings.items()},
         "sub_stage_s": {k: v for k, v in st.counters.items()
                         if k.endswith("_s") and isinstance(v, float)}}))

@@ -42,7 +42,7 @@ def run_group(nproc: int, fq: str, outdir: str, threads: int) -> dict:
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=1",
                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
-               MTC_WRITE_ALL_RANKS="0")
+               MTC_WRITE_ALL_RANKS="0", MTC_SCALE_DECODE="1")
     out = os.path.join(outdir, f"p{nproc}.mtc")
     t0 = time.time()
     procs = []
@@ -74,11 +74,15 @@ def run_group(nproc: int, fq: str, outdir: str, threads: int) -> dict:
                 continue
         else:
             raise RuntimeError(f"no JSON result from rank:\n{text[-1500:]}")
-    return {"nproc": nproc, "threads_per_rank": threads,
-            "encode_s": max(encode_s), "wall_s": round(time.time() - t0, 3),
-            "stage_s": rank0.get("stage_s", {}),
-            "sub_stage_s": rank0.get("sub_stage_s", {}),
-            "archive_bytes": os.path.getsize(out), "archive_path": out}
+    out_rec = {"nproc": nproc, "threads_per_rank": threads,
+               "encode_s": max(encode_s), "wall_s": round(time.time() - t0, 3),
+               "peak_rss_bytes_rank0": rank0.get("peak_rss_bytes"),
+               "stage_s": rank0.get("stage_s", {}),
+               "sub_stage_s": rank0.get("sub_stage_s", {}),
+               "archive_bytes": os.path.getsize(out), "archive_path": out}
+    if rank0.get("decode_s") is not None:
+        out_rec["decode_s"] = rank0["decode_s"]
+    return out_rec
 
 
 def main() -> None:
@@ -120,12 +124,15 @@ def main() -> None:
         r.pop("archive_path", None)
     t1 = results[0]["encode_s"]
     t11 = base1["encode_s"]
+    d1 = results[0].get("decode_s")
     for r in results:
         r["speedup_vs_1proc"] = round(t1 / r["encode_s"], 3)
         r["efficiency"] = round(t1 / r["encode_s"] / r["nproc"], 3)
         # vs the threads-matched 1proc x 1thread baseline: the process-
         # sharding contribution alone
         r["speedup_vs_1proc_1thread"] = round(t11 / r["encode_s"], 3)
+        if d1 and r.get("decode_s"):
+            r["decode_ratio_vs_1proc"] = round(r["decode_s"] / d1, 3)
     # sharded-vs-replicated attribution (VERDICT r03 item 4): a stage whose
     # per-rank seconds shrink ~1/P is sharded; one that stays flat is
     # replicated glue. Report the per-stage 2-proc/1-proc ratio so the
@@ -141,6 +148,13 @@ def main() -> None:
     s11 = base1.get("stage_s", {})
     stage_ratio_1t = {k: round(s2[k] / s11[k], 3)
                       for k in s11 if k in s2 and s11[k] > 0.05}
+    # memory-scaling evidence (VERDICT r04 missing #4): with the row-sharded
+    # resident store, rank 0's peak RSS at P=2 must sit well below the P=1
+    # peak — the store term halves while the replicated glue (cluster CSR,
+    # sketch tables, shrinking realign singleton rows) stays
+    rss1 = results[0].get("peak_rss_bytes_rank0")
+    rss2 = next((r.get("peak_rss_bytes_rank0") for r in results
+                 if r["nproc"] == 2), None)
     out = {
         "n_reads": n_reads, "seq_bytes": seq_bytes,
         "host_cpu_count": ncpu,
@@ -148,6 +162,8 @@ def main() -> None:
                  f"{ncpu} cores, so efficiency is a lower bound vs real "
                  "multi-host"),
         "archive_bytes_identical_across_nproc": identical,
+        "peak_rss_rank0_2proc_over_1proc": (
+            round(rss2 / rss1, 3) if rss1 and rss2 else None),
         "stage_s_ratio_2proc_over_1proc": stage_ratio,
         "stage_s_ratio_2proc_over_1proc_1thread": stage_ratio_1t,
         "baseline_1proc_1thread": {k: base1[k] for k in
