@@ -125,6 +125,15 @@ def main():
             "stage stays on the host twins (bit-identical archives either "
             "way), on a local chip (>1 GB/s PCIe) the sketch/consensus/"
             "entropy stages flip to the device path"),
+        "notes": [
+            "device_compute_est_s attributes the per-call tunnel ROUND-TRIP"
+            " LATENCY (~30 ms x hundreds of dispatches) to compute, so it"
+            " OVERSTATES on-chip compute; KERNELS_r*.json measures the same"
+            " kernels device-resident against the HBM roofline",
+            "a 'never' crossover therefore means 'never through a ~30 ms-"
+            "latency link', not 'never on a local chip' (PCIe-class latency"
+            " ~10 us removes the latency term entirely)",
+        ],
     }
     print(json.dumps(result, indent=1))
     if out_json:

@@ -142,6 +142,26 @@ def main() -> None:
     report("rans_decode", s, rw,
            f"{nb} syms; {nb / s / 1e6:.0f} Msym/s")
 
+    # --- context-modeled rANS (order-k device entropy, r05) -------------
+    from minicom_tpu.entropy import device_ctx_rans as dcr
+    A, k = 16, 2
+    nbc = 1 << 21
+    # markov-ish source so the tables are non-trivial
+    steps = rng.integers(-1, 2, nbc).cumsum() % A
+    data = (steps + 48).astype(np.uint8).tobytes()
+    blob = dcr.compress(data, k=k)
+    s0 = time.perf_counter()
+    dcr.decompress(blob)                      # compile + warm
+    _ = time.perf_counter() - s0
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        dcr.decompress(blob)
+    s = (time.perf_counter() - t0) / reps
+    report("ctx_rans_decode_e2e", s, nbc + nbc // 2,
+           f"{nbc} syms A={A} k={k} (incl. host framing); "
+           f"{nbc / s / 1e6:.0f} Msym/s")
+
     path = os.path.join(REPO, f"KERNELS_r{round_no}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
