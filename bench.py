@@ -134,6 +134,7 @@ def main():
     device_bytes = mesh.device_bytes()
     mtc_bytes = os.path.getsize(arc)
 
+    os.environ["MTC_DECODE_PROFILE"] = "1"   # per-stream entropy-decode split
     t0 = time.time()
     dec_summary = compressor.decompress(arc, dec)
     dec_s = time.time() - t0

@@ -43,9 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-R", type=int, default=35, help="max clustering rounds")
     p.add_argument("-p", action="store_true", help="order-preserving mode")
     p.add_argument("--codec", default="auto",
-                   choices=["auto", "xz", "o1rc", "o2rc", "dnarc", "trans",
+                   choices=["auto", "device", "xz", "o1rc", "o2rc", "dnarc",
+                            "dz", "trans", "trans1", "trans2", "dzt",
                             "bz2", "zlib", "store"],
-                   help="entropy backend per stream (auto = best per stream)")
+                   help="entropy backend per stream (auto = best host codec "
+                        "per stream; device = the on-chip rANS family)")
     p.add_argument("--no-merge-revote", action="store_true",
                    help="splice merged contigs instead of re-voting all "
                         "members (faster, slightly larger archives)")

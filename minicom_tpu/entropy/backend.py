@@ -41,7 +41,14 @@ import zlib
 
 import numpy as np
 
-_XZ_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 9 | lzma.PRESET_EXTREME}]
+# -9e with the dictionary capped at 8 MiB: the container only trial-encodes
+# streams <= 512 KiB with xz (io/container.py _TRIAL_MAX), where a 64 MiB
+# dictionary buys nothing but ~700 MB of encoder RSS per pool worker — at
+# 1M-read scale that fixed allocation DOMINATED per-rank peak RSS and masked
+# the sharded store's memory scaling (SCALING r05). Decode uses the same
+# explicit filter chain, so archives stay self-consistent.
+_XZ_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 9 | lzma.PRESET_EXTREME,
+                "dict_size": 1 << 23}]
 
 _RC_FAMILIES = ("o1rc", "o2rc", "dnarc", "dz")
 

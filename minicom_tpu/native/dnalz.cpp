@@ -104,6 +104,25 @@ void dz_match(const uint8_t* data, int64_t len,
               std::vector<uint32_t>& lit_len, std::vector<uint32_t>& mat_len,
               std::vector<uint32_t>& mat_dist, std::vector<uint8_t>& lits) {
     const int64_t nb = len * 4;
+    if (nb >= ((int64_t)1 << 31)) {
+        // token fields are u32 with a strand bit: distances past 2^31 bases
+        // cannot be represented. A >512 MiB packed stream degrades to one
+        // literal run (correct, uncompressed here; the container's best-of
+        // trial will pick a host coder instead).
+        std::vector<uint8_t> codes((size_t)nb);
+        unpack_codes(data, len, codes.data());
+        int64_t pos = 0;
+        while (pos < nb) {
+            int64_t take = nb - pos < 0x7FFFFFFF ? nb - pos : 0x7FFFFFFF;
+            lit_len.push_back((uint32_t)take);
+            mat_len.push_back(0);
+            mat_dist.push_back(0);
+            lits.insert(lits.end(), codes.begin() + pos,
+                        codes.begin() + pos + take);
+            pos += take;
+        }
+        return;
+    }
     std::vector<uint8_t> codes((size_t)nb + kAnchor, 0);
     unpack_codes(data, len, codes.data());
 

@@ -106,12 +106,29 @@ def _unpack_cluster_reads_inner(meta: dict, streams: dict,
         my = native.diff_decode_win(
             streams["diff"][t_lo:t_hi], ref_cat, base[d0:d1],
             dirs8[d0:d1], d1 - d0, L)
-        rows = dist.allgather_ragged(my.reshape(-1)).reshape(M, L)
-        if out is not None:
-            out[:] = rows
-            rows = out
+        # exchange row blocks in bounded ROUNDS (one whole-output padded
+        # allgather would spike per-rank RSS by ~P x output size — the
+        # memory the sharded store just saved)
+        if out is None:
+            out = np.empty((M, L), np.uint8)
+        CH = max(1, (64 << 20) // (L * nproc))
+        bnds = dist.partition(np.ones(M, np.int32))
+        rounds = max(-(-(p1 - p0) // CH) for p0, p1 in bnds)
+        for r in range(rounds):
+            lo = min(d0 + r * CH, d1)
+            hi = min(lo + CH, d1)
+            blk = dist.allgather_ragged(
+                my[lo - d0:hi - d0].reshape(-1)).reshape(-1, L)
+            # reassemble: each rank's r-th chunk, in rank order
+            pos = 0
+            for p in range(nproc):
+                p0, p1 = bnds[p]
+                plo = min(p0 + r * CH, p1)
+                phi = min(plo + CH, p1)
+                out[plo:phi] = blk[pos:pos + (phi - plo)]
+                pos += phi - plo
         _t("diff", t0)
-        return rows
+        return out
 
     reads = native.diff_decode_win(streams["diff"], ref_cat, base,
                                    dirs8, M, L, out=out)

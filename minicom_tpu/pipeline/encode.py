@@ -175,7 +175,10 @@ def serialize(inp: EncodeInput) -> tuple[dict, dict]:
         from minicom_tpu.parallel.store import ShardedReadStore
         my_rows = (inp.codes_sub.rows(rid[d0:d1])
                    if isinstance(inp.codes_sub, ShardedReadStore) else None)
-        CH = 1 << 20
+        # 2^18-row chunks: the restored-codes + N-mask transients are the
+        # serialize stage's RSS peak (measured 200 MB at the old 2^20 rows;
+        # the diff text is row-aligned, so chunking never changes bytes)
+        CH = 1 << 18
         for s in range(d0, d1, CH):
             t = min(s + CH, d1)
             restored = (my_rows[s - d0:t - d0] if my_rows is not None

@@ -37,8 +37,15 @@ def main():
                               os.environ.get("MTC_WRITE_ALL_RANKS") == "1"
                               else out + ".dec")
         dec_s = round(time.time() - t0, 3)
-    import resource
-    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    # VmHWM, not getrusage: Linux keeps the PARENT's ru_maxrss across
+    # fork+exec, which silently reports the harness's dataset-generation
+    # peak instead of this worker's
+    try:
+        rss = int(open("/proc/self/status").read()
+                  .split("VmHWM:")[1].split()[0]) * 1024
+    except Exception:
+        import resource
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
     print(json.dumps({
         "pid": int(pid), "encode_s": encode_s, "decode_s": dec_s,
         "peak_rss_bytes": rss,

@@ -40,7 +40,14 @@ if kind == "compress":
 elif kind == "decompress":
     summary = compressor.decompress({inp!r}, {out!r}, {out2!r})
 wall = time.time() - t0
-rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+# peak RSS from /proc (VmHWM): Linux does NOT reset ru_maxrss across
+# fork+exec, so getrusage in a subprocess reports the PARENT's peak
+# (the dataset generator's temporaries) — measured 9.3 GB of phantom RSS
+try:
+    rss = int(open("/proc/self/status").read()
+              .split("VmHWM:")[1].split()[0]) * 1024
+except Exception:
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
 print(json.dumps({{"wall_s": round(wall, 2), "peak_rss_bytes": rss,
                    "stage_s": summary.get("timings_s", {{}})}}))
 """

@@ -30,13 +30,29 @@ sys.path.insert(0, REPO)
 _HBM_GBPS = {"tpu v5 lite": 819.0, "tpu v5e": 819.0, "tpu v4": 1228.0}
 
 
+def _force(out):
+    """Force COMPLETION of a device computation by fetching one element.
+
+    On the tunneled axon backend, block_until_ready can return before the
+    program actually finishes (experimental platform) — r04's kernel table
+    credited the scan codecs with Gsym/s they never had (measured r05:
+    the same program timed with a fetch runs ~3000x longer). Fetching any
+    element of the LAST output forces every queued program before it, since
+    single-device execution is ordered."""
+    import jax
+    leaves = jax.tree_util.tree_leaves(out)
+    return np.asarray(leaves[-1]).reshape(-1)[:1]
+
+
 def _time(fn, *args, reps=30):
-    fn(*args).block_until_ready()            # compile + warm
+    """reps dispatches + ONE forcing fetch at the end: the single ~30 ms
+    tunnel round trip amortizes to ~1 ms/rep (kept in — conservative)."""
+    _force(fn(*args))                        # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / reps
+    _force(out)
+    return max((time.perf_counter() - t0) / reps, 1e-9)
 
 
 def main() -> None:
@@ -51,12 +67,26 @@ def main() -> None:
            "hbm_roofline_GBps": hbm, "kernels": {}}
     rng = np.random.default_rng(5)
 
-    def report(name, seconds, rw_bytes, detail):
+    def report(name, seconds, rw_bytes, detail, seconds_small=None,
+               rw_small=None):
+        """seconds at the full size INCLUDES the per-dispatch tunnel
+        overhead (~ms through this link); when a quarter-size timing is
+        given, the MARGINAL throughput (Δbytes/Δtime between the two sizes)
+        cancels the fixed dispatch cost — the honest on-chip estimate for a
+        local deployment. The roofline fraction uses the marginal figure."""
         gbps = rw_bytes / seconds / 1e9
-        out["kernels"][name] = {
-            "seconds": round(seconds, 5), "rw_bytes": rw_bytes,
-            "GBps": round(gbps, 2),
-            "roofline_fraction": round(gbps / hbm, 4), "detail": detail}
+        rec = {"seconds": round(seconds, 5), "rw_bytes": rw_bytes,
+               "GBps_incl_dispatch": round(gbps, 2), "detail": detail}
+        if seconds_small is not None and seconds > seconds_small:
+            marg = (rw_bytes - rw_small) / (seconds - seconds_small) / 1e9
+            rec["GBps_marginal"] = round(marg, 2)
+            rec["roofline_fraction"] = round(marg / hbm, 4)
+        else:
+            rec["roofline_fraction"] = round(gbps / hbm, 4)
+        out["kernels"][name] = rec
+        # dump incrementally: tunnel flakiness must not lose finished rows
+        with open(os.path.join(REPO, f"KERNELS_r{round_no}.json"), "w") as f:
+            json.dump(out, f, indent=1)
 
     # --- windowed contig sketch (merge stage) ---------------------------
     from minicom_tpu.ops.pallas_sketch import sketch_windowed_pallas_compact32
@@ -67,11 +97,14 @@ def main() -> None:
     fn = (sketch_windowed_pallas_compact32
           if jax.default_backend() != "cpu" else sketch_windowed_compact32)
     s = _time(lambda c, l: fn(c, l, k, w, m), codes, ln)
+    s0 = _time(lambda c, l: fn(c, l, k, w, m), codes[: rows // 4],
+               ln[: rows // 4])
     rw = rows * Lmax + rows * (2 * m * 4 + 4)      # codes in + packed out
     report("sketch_windowed" + ("_pallas" if fn is not
            sketch_windowed_compact32 else "_xla"), s, rw,
            f"{rows}x{Lmax} codes, k={k} w={w} m={m}; "
-           f"{rows * (Lmax - k + 1) / s / 1e6:.0f} Mkmer/s")
+           f"{rows * (Lmax - k + 1) / max(s - s0, 1e-9) * 0.75 / 1e6:.0f} "
+           "marginal Mkmer/s", s0, rw // 4)
 
     # --- whole-read minimizer sketch (cluster stage) --------------------
     from minicom_tpu.ops.sketch import sketch_reads_dyn_gather_packed
@@ -80,9 +113,13 @@ def main() -> None:
     rids = jnp.asarray(np.arange(N, dtype=np.int32))
     s = _time(lambda st, r: sketch_reads_dyn_gather_packed(st, r, 31),
               store, rids)
+    s0 = _time(lambda st, r: sketch_reads_dyn_gather_packed(st, r, 31),
+               store, rids[: N // 4])
     rw = N * L + N * 12
     report("sketch_reads_dyn", s, rw,
-           f"{N} reads x {L} bp; {N / s / 1e6:.1f} Mreads/s")
+           f"{N} reads x {L} bp; "
+           f"{N * 0.75 / max(s - s0, 1e-9) / 1e6:.1f} marginal Mreads/s",
+           s0, rw // 4)
 
     # --- consensus scatter-add (cluster/merge consensus) ----------------
     from minicom_tpu.ops.consensus import scatter_counts_rid_u
@@ -91,9 +128,14 @@ def main() -> None:
     u[0] = rng.integers(0, N, M) * 2
     u[1] = rng.integers(0, Tp - L, M)
     ud = jnp.asarray(u)
-    table = jnp.zeros((Tp, 4), jnp.int32)
-    s = _time(lambda t, st, uu: scatter_counts_rid_u(t, st, uu),
-              table, store, ud)
+    # scatter_counts_rid_u DONATES its count table: a fresh table per call
+    # (device-side zeros, included in the timing — real passes pay it too);
+    # reusing one donated buffer poisons every later dispatch and was why
+    # earlier kernel-bench runs died at unrelated fetches
+    s = _time(lambda st, uu: scatter_counts_rid_u(
+        jnp.zeros((Tp, 4), jnp.int32), st, uu), store, ud)
+    s0 = _time(lambda st, uu: scatter_counts_rid_u(
+        jnp.zeros((Tp, 4), jnp.int32), st, uu), store, ud[:, : M // 4])
     # HBM traffic model: member-row gathers from the read store + the u
     # array in + one r/w sweep of the count table (the [Tp,4] table itself
     # is small enough to live in cache between updates — charging 8 B per
@@ -101,7 +143,8 @@ def main() -> None:
     rw = M * L + M * 8 + 2 * Tp * 4 * 4
     report("consensus_scatter", s, rw,
            f"{M} members x {L} bp into {Tp} cols; "
-           f"{M * L / s / 1e6:.0f} Mbase/s")
+           f"{M * L * 0.75 / max(s - s0, 1e-9) / 1e6:.0f} marginal Mbase/s",
+           s0, rw // 4)
 
     # --- XOR-popcount verify (realign) ----------------------------------
     from minicom_tpu.ops.pallas_verify import (popcount_verify,
@@ -112,10 +155,13 @@ def main() -> None:
     vf = (popcount_verify_pallas if jax.default_backend() != "cpu"
           else popcount_verify)
     s = _time(lambda a, b: vf(a, b), aw, bw)
+    s0 = _time(lambda a, b: vf(a, b), aw[: Nv // 4], bw[: Nv // 4])
     rw = 2 * Nv * W * 4 + Nv * 4
     report("popcount_verify" + ("_pallas" if vf is popcount_verify_pallas
                                 else "_xla"), s, rw,
-           f"{Nv} candidate pairs x {W} words; {Nv / s / 1e6:.1f} Mpairs/s")
+           f"{Nv} candidate pairs x {W} words; "
+           f"{Nv * 0.75 / max(s - s0, 1e-9) / 1e6:.1f} marginal Mpairs/s",
+           s0, rw // 4)
 
     # --- on-chip interleaved rANS (entropy stage device path) -----------
     from minicom_tpu.entropy import device_rans
@@ -130,37 +176,70 @@ def main() -> None:
     grid = jnp2.asarray(sym_np.reshape(T, device_rans.LANES))
     valid = jnp2.ones((T, device_rans.LANES), bool)
     enc = device_rans._encode_program(T)
+    enc4 = device_rans._encode_program(T // 4)
     s = _time(lambda g: enc(g, valid, freq_d, cum_d)[1], grid, reps=10)
+    s0 = _time(lambda g: enc4(g, valid[: T // 4], freq_d, cum_d)[1],
+               grid[: T // 4], reps=10)
     rw = nb + nb // 2            # syms in + ~words out
     report("rans_encode", s, rw,
            f"{nb} syms x {device_rans.LANES} lanes; "
-           f"{nb / s / 1e6:.0f} Msym/s")
+           f"{nb * 0.75 / max(s - s0, 1e-9) / 1e6:.0f} marginal Msym/s",
+           s0, rw // 4)
     states, words, wcounts = enc(grid, valid, freq_d, cum_d)
     dec = device_rans._decode_program(T)
     s = _time(lambda st, w: dec(st, w, valid, freq_d, cum_d, slot_d),
               states, words, reps=10)
+    st4, w4, _ = enc4(grid[: T // 4], valid[: T // 4], freq_d, cum_d)
+    dec4 = device_rans._decode_program(T // 4)
+    s0 = _time(lambda st, w: dec4(st, w, valid[: T // 4], freq_d, cum_d,
+                                  slot_d), st4, w4, reps=10)
     report("rans_decode", s, rw,
-           f"{nb} syms; {nb / s / 1e6:.0f} Msym/s")
+           f"{nb} syms; {nb * 0.75 / max(s - s0, 1e-9) / 1e6:.0f} "
+           "marginal Msym/s", s0, rw // 4)
 
     # --- context-modeled rANS (order-k device entropy, r05) -------------
-    from minicom_tpu.entropy import device_ctx_rans as dcr
-    A, k = 16, 2
-    nbc = 1 << 21
-    # markov-ish source so the tables are non-trivial
-    steps = rng.integers(-1, 2, nbc).cumsum() % A
-    data = (steps + 48).astype(np.uint8).tobytes()
-    blob = dcr.compress(data, k=k)
-    s0 = time.perf_counter()
-    dcr.decompress(blob)                      # compile + warm
-    _ = time.perf_counter() - s0
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        dcr.decompress(blob)
-    s = (time.perf_counter() - t0) / reps
-    report("ctx_rans_decode_e2e", s, nbc + nbc // 2,
-           f"{nbc} syms A={A} k={k} (incl. host framing); "
-           f"{nbc / s / 1e6:.0f} Msym/s")
+    # in a SUBPROCESS: on the tunneled backend this program occasionally
+    # hits a spurious TPU InvalidArgument when compiled after the Pallas
+    # kernels above in the same client; a fresh client measures cleanly
+    import subprocess
+    try:
+        child = subprocess.run([sys.executable, "-c", r"""
+import json, time
+import numpy as np
+rng = np.random.default_rng(5)
+from minicom_tpu.entropy import device_ctx_rans as dcr
+A, k = 16, 2
+nbc = 1 << 21
+steps = rng.integers(-1, 2, nbc).cumsum() % A
+data = (steps + 48).astype(np.uint8).tobytes()
+blob = dcr.compress(data, k=k)
+dcr.decompress(blob)                      # compile + warm
+t0 = time.perf_counter()
+reps = 5
+for _ in range(reps):
+    dcr.decompress(blob)
+print(json.dumps({"s": (time.perf_counter() - t0) / reps,
+                  "nbc": nbc, "A": A, "k": k}))
+"""], capture_output=True, text=True, timeout=2400,
+                               env={**os.environ,
+                                    "PYTHONPATH": REPO + os.pathsep
+                                    + os.environ.get("PYTHONPATH", "")})
+    except subprocess.TimeoutExpired:
+        child = None
+    for line in reversed(child.stdout.strip().splitlines()
+                         if child else []):
+        try:
+            r = json.loads(line)
+            report("ctx_rans_decode_e2e", r["s"], r["nbc"] + r["nbc"] // 2,
+                   f"{r['nbc']} syms A={r['A']} k={r['k']} (incl. host "
+                   f"framing); {r['nbc'] / r['s'] / 1e6:.0f} Msym/s")
+            break
+        except (json.JSONDecodeError, KeyError):
+            continue
+    else:
+        out["kernels"]["ctx_rans_decode_e2e"] = {
+            "error": (child.stderr[-500:] if child
+                      else "timeout (tunnel compiles)")}
 
     path = os.path.join(REPO, f"KERNELS_r{round_no}.json")
     with open(path, "w") as f:

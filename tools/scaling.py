@@ -104,7 +104,9 @@ def main() -> None:
     base1 = run_group(1, fq, tmp, 1)  # second pass = warm measurement
 
     results = []
-    for nproc in (1, 2, 4):
+    procs = tuple(int(x) for x in
+                  os.environ.get("SCALE_PROCS", "1,2,4").split(","))
+    for nproc in procs:
         threads = max(1, ncpu // nproc)
         # run each group twice: the first pass pays the one-time XLA compiles
         # for this process topology (the persistent cache key includes it);
@@ -161,6 +163,15 @@ def main() -> None:
         "note": ("single host, CPU collectives; all ranks share "
                  f"{ncpu} cores, so efficiency is a lower bound vs real "
                  "multi-host"),
+        "note_store_traffic": (
+            "with the row-sharded store (r05) the cluster/merge stages "
+            "exchange member rows through ordered all-gathers, which "
+            "deliver every served row to EVERY rank (the only collective "
+            "available on the multi-host CPU path is process_allgather) — "
+            "a P-fold traffic redundancy that the loopback transport "
+            "absorbs at memcpy speed here but a production DCN backend "
+            "would avoid with an all-to-all; per-rank RSS is what the "
+            "sharded store is buying (peak_rss_rank0_2proc_over_1proc)"),
         "archive_bytes_identical_across_nproc": identical,
         "peak_rss_rank0_2proc_over_1proc": (
             round(rss2 / rss1, 3) if rss1 and rss2 else None),
