@@ -121,12 +121,17 @@ def main():
 
     from minicom_tpu import compressor
 
-    # warmup run compiles every kernel; second run measures
+    # warmup run compiles every kernel; second run measures. os.sync()
+    # between phases: the harness wrote a 1 GB dataset moments ago and each
+    # phase writes hundreds of MB — without the barrier the measured phase
+    # pays the PREVIOUS phase's dirty-page writeback (measured +3s of
+    # phantom wall on the decode's output write)
     t0 = time.time()
     compressor.compress(fq, arc)
     cold_s = time.time() - t0
     from minicom_tpu.parallel import mesh
     mesh.reset_device_seconds()
+    os.sync()
     t0 = time.time()
     summary = compressor.compress(fq, arc)
     warm_s = time.time() - t0
@@ -135,6 +140,12 @@ def main():
     mtc_bytes = os.path.getsize(arc)
 
     os.environ["MTC_DECODE_PROFILE"] = "1"   # per-stream entropy-decode split
+    # no sync() here: a pre-decode sync leaves balance_dirty_pages throttling
+    # page-cache accept to raw-disk speed for the next writer (measured: the
+    # same 505 MB write costs 0.3s with a calm cache, 2.8s right after a
+    # sync), and the reference decompress is timed without one either. The
+    # decompressor also overlaps its output writes with decode (writer
+    # thread), like the reference's per-thread OpenMP writes.
     t0 = time.time()
     dec_summary = compressor.decompress(arc, dec)
     dec_s = time.time() - t0

@@ -192,6 +192,50 @@ def decompress(archive_path: str, out_path: str,
         meta, streams = container.read_container(
             archive_path,
             stats.counters if os.environ.get("MTC_DECODE_PROFILE") else None)
+    from minicom_tpu.parallel import distributed as dist
+    pid, nproc = dist.process_grid()
+    i_write = (nproc == 1 or pid == 0
+               or os.environ.get("MTC_WRITE_ALL_RANKS") == "1")
+    if nproc == 1 and not meta["pe"] and not meta["order"]:
+        # unordered single-process: finished row ranges STREAM to a writer
+        # thread while later rows still decode (the reference's OpenMP
+        # decode threads write as they go, decompress.c:1271-1296; a single
+        # end-of-decode 500 MB write can stall for seconds on hosts that
+        # throttle page-cache accept after writeback pressure)
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=8)
+        werr = []
+
+        def _writer():
+            try:
+                with open(out_path, "wb") as f:
+                    while True:
+                        part = q.get()
+                        if part is None:
+                            return
+                        f.write(memoryview(part).cast("B"))
+            except BaseException as e:   # surface on join
+                werr.append(e)
+                while q.get() is not None:   # keep the producer unblocked
+                    pass
+
+        def _sink(part):
+            if len(part):                    # empty views cannot cast
+                q.put(part)
+
+        wt = threading.Thread(target=_writer, daemon=True)
+        wt.start()
+        with stats.stage("decode"):
+            decode_mod.assemble_unordered(meta, streams, stats.counters,
+                                          pre=pre, sink=_sink)
+        with stats.stage("write"):   # residual writer drain
+            q.put(None)
+            wt.join()
+            if werr:
+                raise werr[0]
+        return stats.summary()
+
     with stats.stage("decode"):
         if meta["pe"]:
             f1, f2 = decode_mod.assemble_pe(meta, streams, pre=pre)
@@ -205,10 +249,7 @@ def decompress(archive_path: str, out_path: str,
         # multi-process: every rank holds the identical output; rank 0
         # writes (MTC_WRITE_ALL_RANKS=1 restores per-rank writes — the
         # determinism test compares the bytes)
-        from minicom_tpu.parallel import distributed as dist
-        pid, nproc = dist.process_grid()
-        if nproc == 1 or pid == 0 \
-                or os.environ.get("MTC_WRITE_ALL_RANKS") == "1":
+        if i_write:
             fastq.write_lines(out_path, f1)
             if f2 is not None:
                 fastq.write_lines(out_path2 or out_path + ".2", f2)

@@ -28,18 +28,21 @@ from minicom_tpu.pipeline.encode import DPOS_ESCAPE
 
 def _unpack_cluster_reads(meta: dict, streams: dict,
                           stats: dict | None = None,
-                          out: np.ndarray | None = None) -> np.ndarray:
+                          out: np.ndarray | None = None,
+                          sink=None) -> np.ndarray:
     """Reconstruct all cluster member reads -> [M, L] uint8 ASCII rows, in
     canonical emission order (into `out` when given: rows are written in
-    place, saving a second full-matrix copy in the assembler)."""
+    place, saving a second full-matrix copy in the assembler; ``sink(lo,hi)``
+    is called per finished row chunk so the caller can stream them out)."""
     from minicom_tpu.pipeline.merge import _sub
     with _sub(stats, "decode_clusters"):
-        return _unpack_cluster_reads_inner(meta, streams, stats, out)
+        return _unpack_cluster_reads_inner(meta, streams, stats, out, sink)
 
 
 def _unpack_cluster_reads_inner(meta: dict, streams: dict,
                                 stats: dict | None = None,
-                                out: np.ndarray | None = None) -> np.ndarray:
+                                out: np.ndarray | None = None,
+                                sink=None) -> np.ndarray:
     import time as _time
 
     def _t(key, t0):
@@ -130,9 +133,28 @@ def _unpack_cluster_reads_inner(meta: dict, streams: dict,
         _t("diff", t0)
         return out
 
+    if sink is not None and out is not None and native.has_native():
+        # chunked decode + streaming handoff: each finished row range goes
+        # to the writer while the next range decodes
+        buf = np.frombuffer(streams["diff"], np.uint8)
+        nl = np.flatnonzero(buf == ord("\n"))
+        CH = 1 << 20
+        for lo in range(0, M, CH):
+            hi = min(lo + CH, M)
+            s_lo = 0 if lo == 0 else int(nl[lo - 1]) + 1
+            s_hi = int(nl[hi - 1]) + 1
+            native.diff_decode_win(streams["diff"][s_lo:s_hi], ref_cat,
+                                   base[lo:hi], dirs8[lo:hi], hi - lo, L,
+                                   out=out[lo:hi])
+            sink(lo, hi)
+        _t("diff", t0)
+        return out
+
     reads = native.diff_decode_win(streams["diff"], ref_cat, base,
                                    dirs8, M, L, out=out)
     _t("diff", t0)
+    if reads is not None and sink is not None:
+        sink(0, M)
     dirs = dirs8
     if reads is None:  # pure-Python fallback
         win = base[:, None] + np.arange(L)[None, :]
@@ -146,6 +168,8 @@ def _unpack_cluster_reads_inner(meta: dict, streams: dict,
         if out is not None:
             out[:] = reads
             reads = out
+        if sink is not None and out is not None:
+            sink(0, M)
     return reads
 
 
@@ -155,7 +179,8 @@ def _const_reads(char: bytes, n: int, L: int) -> np.ndarray:
 
 def _iter_class_blocks(meta: dict, streams: dict,
                        stats: dict | None = None,
-                       cluster_out: np.ndarray | None = None):
+                       cluster_out: np.ndarray | None = None,
+                       cluster_sink=None):
     """Yield (class_key, [*, L] uint8 ASCII block) in canonical emission
     order, one at a time — callers place each block into the output and drop
     it before the next is built, so peak memory stays ~1 block + output
@@ -195,7 +220,8 @@ def _iter_class_blocks(meta: dict, streams: dict,
         return codes_to_ascii(sg.reshape(meta["n_single"], L))
 
     yield "single", _t("single", _singles)
-    yield "clusters", _unpack_cluster_reads(meta, streams, stats, cluster_out)
+    yield "clusters", _unpack_cluster_reads(meta, streams, stats, cluster_out,
+                                            cluster_sink)
 
 
 def decode_streams(meta: dict, streams: dict) -> dict:
@@ -282,19 +308,34 @@ class Prealloc:
 
 def assemble_unordered(meta: dict, streams: dict,
                        stats: dict | None = None,
-                       pre: "Prealloc | None" = None) -> np.ndarray:
-    """Returns the [n_seq, L+1] lines matrix (newline column included)."""
+                       pre: "Prealloc | None" = None,
+                       sink=None) -> np.ndarray:
+    """Returns the [n_seq, L+1] lines matrix (newline column included).
+
+    With ``sink`` (callable taking row-range views of the lines matrix),
+    finished regions are handed over DURING assembly — the decompressor's
+    writer thread streams them to disk while the cluster rows still decode,
+    like the reference's per-thread OpenMP writes (decompress.c:1271-1296).
+    This matters on throttled-writeback hosts, where a single end-of-decode
+    505 MB write can cost more than the whole decode."""
     full, out = pre.take()[0] if pre else _alloc_lines(meta["n_seq"],
                                                        meta["readlen"])
+    M = meta["n_members"]
     # cluster members are the LAST class block, so they decode straight into
     # the output tail (no second full-matrix copy — at 5M reads the cluster
     # block is ~90% of the 505 MB output)
     pos = 0
     for key, blk in _iter_class_blocks(
             meta, streams, stats,
-            cluster_out=out[meta["n_seq"] - meta["n_members"]:]):
+            cluster_out=out[meta["n_seq"] - M:],
+            cluster_sink=(None if sink is None else
+                          (lambda lo, hi:
+                           sink(full[meta["n_seq"] - M + lo:
+                                     meta["n_seq"] - M + hi])))):
         if key != "clusters" or blk.base is not full:
             out[pos:pos + len(blk)] = blk
+        if sink is not None and key != "clusters":
+            sink(full[pos:pos + len(blk)])
         pos += len(blk)
     assert pos == meta["n_seq"], "class blocks do not partition the read set"
     return full
